@@ -1,0 +1,367 @@
+"""Driver-contract query registry (SURVEY.md §2 → queries()/oracle_sql()).
+
+Each entry maps one operator from the inventory onto the driver's
+testdata tables (region nation customer supplier part orders lineitem
+events documents embeddings) with a DuckDB-runnable oracle. Geo roles
+are played by *derived* coordinates computed with integer arithmetic +
+one exact double division, so Spark and DuckDB produce bit-identical
+doubles and the comparison is exact:
+
+  points  (from orders):   lat = (o_orderkey·48271 mod 1800000)/1e4 − 90
+                           lon = (o_orderkey·69621 mod 3600000)/1e4 − 180
+  boxes   (from customer): center/span from c_custkey mod-arithmetic
+  phash   (from orders):   hi·2^31 + lo with hi ∈ [0,2^32), lo ∈ [0,2^31)
+                           — same bit-layout as synth.images
+
+Float-aggregation rule: money sums CAST to DECIMAL before SUM in BOTH
+engines (order-independent, exact); distance ranks quantized via
+floor(dist·1e6) before row_number (stable across engines).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import geo
+from .operators import knn as knn_ops
+from .operators import overlay as overlay_ops
+from .operators import spatial_join as sj
+
+# ---------------------------------------------------------------------------
+# shared derivations
+# ---------------------------------------------------------------------------
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def points_from_orders(orders: DataFrame) -> DataFrame:
+    """(point_id, lat, lon) — slim projection, geotag via integer math."""
+    k = F.col("o_orderkey")
+    return orders.select(
+        k.alias("point_id"),
+        (F.pmod(k * 48271, F.lit(1800000)) / F.lit(10000.0) - F.lit(90.0)).alias("lat"),
+        (F.pmod(k * 69621, F.lit(3600000)) / F.lit(10000.0) - F.lit(180.0)).alias("lon"),
+    )
+
+
+POINTS_SQL = """
+SELECT o_orderkey AS point_id,
+       (o_orderkey * 48271 % 1800000) / 10000.0 - 90.0  AS lat,
+       (o_orderkey * 69621 % 3600000) / 10000.0 - 180.0 AS lon
+FROM orders
+"""
+
+
+def boxes_from_customer(customer: DataFrame) -> DataFrame:
+    k = F.col("c_custkey")
+    c_lat = F.pmod(k * 911, F.lit(1700)) / F.lit(10.0) - F.lit(85.0)
+    c_lon = F.pmod(k * 541, F.lit(3500)) / F.lit(10.0) - F.lit(175.0)
+    s_lat = F.pmod(k, F.lit(40)) / F.lit(10.0) + F.lit(0.05)
+    s_lon = F.pmod(k, F.lit(37)) / F.lit(10.0) + F.lit(0.05)
+    return customer.select(
+        k.alias("box_id"),
+        (c_lat - s_lat).alias("min_lat"),
+        (c_lat + s_lat).alias("max_lat"),
+        (c_lon - s_lon).alias("min_lon"),
+        (c_lon + s_lon).alias("max_lon"),
+    )
+
+
+BOXES_SQL = """
+SELECT c_custkey AS box_id,
+       ((c_custkey * 911 % 1700) / 10.0 - 85.0)  - ((c_custkey % 40) / 10.0 + 0.05) AS min_lat,
+       ((c_custkey * 911 % 1700) / 10.0 - 85.0)  + ((c_custkey % 40) / 10.0 + 0.05) AS max_lat,
+       ((c_custkey * 541 % 3500) / 10.0 - 175.0) - ((c_custkey % 37) / 10.0 + 0.05) AS min_lon,
+       ((c_custkey * 541 % 3500) / 10.0 - 175.0) + ((c_custkey % 37) / 10.0 + 0.05) AS max_lon
+FROM customer
+"""
+
+
+def boxes_from_supplier(supplier: DataFrame) -> DataFrame:
+    k = F.col("s_suppkey")
+    c_lat = F.pmod(k * 733, F.lit(1600)) / F.lit(10.0) - F.lit(80.0)
+    c_lon = F.pmod(k * 389, F.lit(3400)) / F.lit(10.0) - F.lit(170.0)
+    s_lat = F.pmod(k, F.lit(60)) / F.lit(10.0) + F.lit(0.05)
+    s_lon = F.pmod(k, F.lit(53)) / F.lit(10.0) + F.lit(0.05)
+    return supplier.select(
+        k.alias("box_id"),
+        (c_lat - s_lat).alias("min_lat"),
+        (c_lat + s_lat).alias("max_lat"),
+        (c_lon - s_lon).alias("min_lon"),
+        (c_lon + s_lon).alias("max_lon"),
+    )
+
+
+SUPPLIER_BOXES_SQL = """
+SELECT s_suppkey AS box_id,
+       ((s_suppkey * 733 % 1600) / 10.0 - 80.0)  - ((s_suppkey % 60) / 10.0 + 0.05) AS min_lat,
+       ((s_suppkey * 733 % 1600) / 10.0 - 80.0)  + ((s_suppkey % 60) / 10.0 + 0.05) AS max_lat,
+       ((s_suppkey * 389 % 3400) / 10.0 - 170.0) - ((s_suppkey % 53) / 10.0 + 0.05) AS min_lon,
+       ((s_suppkey * 389 % 3400) / 10.0 - 170.0) + ((s_suppkey % 53) / 10.0 + 0.05) AS max_lon
+FROM supplier
+"""
+
+# Oracle containment predicate on *valid* boxes (the synthetic customer
+# boxes are already valid; normalize_boxes is identity on them).
+_CONTAINS_PRED = (
+    "p.lat >= b.min_lat AND p.lat <= b.max_lat "
+    "AND p.lon >= b.min_lon AND p.lon <= b.max_lon"
+)
+
+
+# ---------------------------------------------------------------------------
+# query implementations — (spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------------
+
+def q_spatial_contains_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 flagship: images-per-polygon counts via cover join."""
+    points = points_from_orders(load(spark, sf_dir, "orders"))
+    boxes = boxes_from_customer(load(spark, sf_dir, "customer"))
+    pairs = sj.contains_join(points, boxes, res=3, broadcast_boxes=True)
+    return pairs.groupBy("box_id").agg(F.count("*").alias("n_points"))
+
+
+def q_spatial_contains_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 exact pair parity (no aggregation hiding mistakes)."""
+    points = points_from_orders(load(spark, sf_dir, "orders"))
+    boxes = boxes_from_customer(load(spark, sf_dir, "customer"))
+    return sj.contains_join(points, boxes, res=3, broadcast_boxes=True).select(
+        "point_id", "box_id"
+    )
+
+
+def q_spatial_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 via the shuffle+salting path (same answer, different plan)."""
+    points = points_from_orders(load(spark, sf_dir, "orders"))
+    boxes = boxes_from_customer(load(spark, sf_dir, "customer"))
+    pairs = sj.contains_join(
+        points, boxes, res=3, broadcast_boxes=False,
+        salt_buckets=8, point_salt_key="point_id",
+    )
+    return pairs.groupBy("box_id").agg(F.count("*").alias("n_points"))
+
+
+def q_count_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: filtered COUNT(*) (README.md:220-222)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") >= 25.0) & (F.col("l_returnflag") == "A"))
+        .groupBy("l_linestatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_json_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2/B3: key lookup into an open-schema map + prefix match
+    (tags->'created_by' LIKE 'JOSM%', README.md:228). events.props
+    plays the JSONB tags role."""
+    ev = load(spark, sf_dir, "events")
+    v = F.get_json_object(F.col("props"), "$.k")
+    return (
+        ev.filter(v.isNotNull() & v.startswith("1"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def q_key_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6: parent-child key join + money rollup (decimal-exact sums)."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
+    )
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(rev).cast("decimal(38,6)").alias("revenue"),
+        )
+    )
+
+
+def q_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: time-range scan (b-tree on created_at → min-max pushdown)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-03-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1997-09-01").cast("date"))
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_area_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: geodesic bbox-area filter (ST_Area<225 km² analog,
+    README.md:186)."""
+    boxes = boxes_from_customer(load(spark, sf_dir, "customer"))
+    area = geo.bbox_area_km2(
+        F.col("min_lat"), F.col("max_lat"), F.col("min_lon"), F.col("max_lon")
+    )
+    return boxes.filter(area < 300000.0).select("box_id")
+
+
+def q_lat_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: out-of-range latitude sanity rule on the phash geotag."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    phash = (
+        F.pmod(k * 2654435761, F.lit(4294967296)) * F.lit(2147483648)
+        + F.pmod(k * 104729 + 42, F.lit(2147483648))
+    )
+    lat_raw = geo.phash_to_lat(phash)
+    return orders.select(
+        k.alias("point_id"),
+        F.floor(geo.clamp_lat(lat_raw) * 10000).alias("lat_q"),
+        (F.abs(lat_raw) > 90.0).alias("was_out_of_range"),
+    )
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN join (exact broadcast variant — the oracle-checkable one;
+    the ring-accelerated variant is property-tested in pytest)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    points = points_from_orders(orders)
+    queries = boxes_from_customer(customer).filter(F.col("box_id") < 40).select(
+        F.col("box_id").alias("query_id"),
+        ((F.col("min_lat") + F.col("max_lat")) / F.lit(2.0)).alias("q_lat"),
+        ((F.col("min_lon") + F.col("max_lon")) / F.lit(2.0)).alias("q_lon"),
+    )
+    out = knn_ops.knn_join_exact(queries, points, k=5)
+    return out.select(
+        "query_id", "point_id", "knn_rank", F.floor(F.col("dist_km") * 1e6).alias("dist_qkm")
+    )
+
+
+def q_tile_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster-tile ↔ vector-bbox overlay: intersecting box pairs."""
+    a = boxes_from_customer(load(spark, sf_dir, "customer"))
+    b = boxes_from_supplier(load(spark, sf_dir, "supplier"))
+    out = overlay_ops.overlay_join(a, b, zoom=6, broadcast_b=True)
+    return out.select(F.col("a_box_id").alias("cust_box"), F.col("b_box_id").alias("supp_box"))
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect-compatible ANSI)
+# ---------------------------------------------------------------------------
+
+ORACLES: dict[str, str] = {
+    "spatial_contains_count": f"""
+        SELECT b.box_id AS box_id, count(*) AS n_points
+        FROM ({POINTS_SQL}) p JOIN ({BOXES_SQL}) b ON {_CONTAINS_PRED}
+        GROUP BY b.box_id
+    """,
+    "spatial_contains_pairs": f"""
+        SELECT p.point_id AS point_id, b.box_id AS box_id
+        FROM ({POINTS_SQL}) p JOIN ({BOXES_SQL}) b ON {_CONTAINS_PRED}
+    """,
+    "spatial_salted": f"""
+        SELECT b.box_id AS box_id, count(*) AS n_points
+        FROM ({POINTS_SQL}) p JOIN ({BOXES_SQL}) b ON {_CONTAINS_PRED}
+        GROUP BY b.box_id
+    """,
+    "count_filter": """
+        SELECT l_linestatus, count(*) AS n FROM lineitem
+        WHERE l_quantity >= 25.0 AND l_returnflag = 'A'
+        GROUP BY l_linestatus
+    """,
+    "json_lookup": """
+        SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+          AND json_extract_string(props, '$.k') LIKE '1%'
+        GROUP BY event_type
+    """,
+    "key_join_rollup": """
+        SELECT o_orderpriority, count(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                        * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
+                    AS DECIMAL(38,6)) AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+    """,
+    "time_range": """
+        SELECT o_orderstatus, count(*) AS n FROM orders
+        WHERE o_orderdate >= DATE '1997-03-01' AND o_orderdate < DATE '1997-09-01'
+        GROUP BY o_orderstatus
+    """,
+    "area_filter": f"""
+        SELECT box_id FROM ({BOXES_SQL})
+        WHERE 6371.0088 * 6371.0088 * radians(max_lon - min_lon)
+              * (sin(radians(max_lat)) - sin(radians(min_lat))) < 300000.0
+    """,
+    "lat_clamp": """
+        WITH ph AS (
+            SELECT o_orderkey AS point_id,
+                   ((o_orderkey * 2654435761 % 4294967296) * 2147483648
+                    + (o_orderkey * 104729 + 42) % 2147483648) AS phash
+            FROM orders
+        ),
+        raw AS (
+            SELECT point_id,
+                   (phash >> 31) / 4294967296.0 * 190.0 - 95.0 AS lat_raw
+            FROM ph
+        )
+        SELECT point_id,
+               floor(greatest(-90.0, least(90.0, lat_raw)) * 10000) AS lat_q,
+               abs(lat_raw) > 90.0 AS was_out_of_range
+        FROM raw
+    """,
+    "knn": f"""
+        WITH p AS ({POINTS_SQL}),
+        q AS (
+            SELECT box_id AS query_id,
+                   (min_lat + max_lat) / 2.0 AS q_lat,
+                   (min_lon + max_lon) / 2.0 AS q_lon
+            FROM ({BOXES_SQL}) WHERE box_id < 40
+        ),
+        d AS (
+            SELECT q.query_id, p.point_id,
+                   2.0 * 6371.0088 * asin(least(1.0, sqrt(
+                       pow(sin(radians(p.lat - q.q_lat) / 2), 2)
+                       + cos(radians(q.q_lat)) * cos(radians(p.lat))
+                         * pow(sin(radians(p.lon - q.q_lon) / 2), 2)
+                   ))) AS dist_km
+            FROM q CROSS JOIN p
+        ),
+        r AS (
+            SELECT query_id, point_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY floor(dist_km * 1000000000) ASC, point_id ASC
+                   ) AS knn_rank,
+                   floor(dist_km * 1000000) AS dist_qkm
+            FROM d
+        )
+        SELECT query_id, point_id, knn_rank, dist_qkm FROM r WHERE knn_rank <= 5
+    """,
+    "tile_overlay": f"""
+        SELECT a.box_id AS cust_box, b.box_id AS supp_box
+        FROM ({BOXES_SQL}) a JOIN ({SUPPLIER_BOXES_SQL}) b
+        ON NOT (a.max_lon < b.min_lon OR b.max_lon < a.min_lon
+                OR a.max_lat < b.min_lat OR b.max_lat < a.min_lat)
+    """,
+}
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "spatial_contains_count": q_spatial_contains_count,
+    "spatial_contains_pairs": q_spatial_contains_pairs,
+    "spatial_salted": q_spatial_salted,
+    "count_filter": q_count_filter,
+    "json_lookup": q_json_lookup,
+    "key_join_rollup": q_key_join_rollup,
+    "time_range": q_time_range,
+    "area_filter": q_area_filter,
+    "lat_clamp": q_lat_clamp,
+    "knn": q_knn,
+    "tile_overlay": q_tile_overlay,
+}

@@ -1,0 +1,213 @@
+"""Hexagonal tiling (H3-style) as PURE Spark column expressions.
+
+The engine's replacement for the reference's GiST spatial index
+(queries.py:57-59): every record gets a hex-cell id; spatial joins
+become hash equi-joins on cell ids (SURVEY.md §2.b B4, §4).
+
+Why not the real H3 library? It is not installed in this environment
+and per-row Python is banned (input_hint). Instead this module
+implements an honest hexagonal grid — pointy-top hexagons in axial
+coordinates over the equirectangular (lon, lat) plane, with H3-style
+aperture-7 resolution scaling (cell size shrinks by √7 per res) — as
+*closed-form column expressions*, so cell assignment runs inside
+whole-stage codegen with zero Python. If the real ``h3`` package is
+present it can be swapped in behind the same API (see ``HAS_H3``).
+
+Cell id packing is linear in (q, r):
+
+    id = res·2^56 + (q + 2^27)·2^28 + (r + 2^27)
+
+which makes neighbor math pure arithmetic: moving one hex step is just
+``id + dq·2^28 + dr``; ``grid_disk`` is a literal-offset transform.
+
+Limitations (documented, acceptable for the synthetic geotag domain):
+lon must be in [-180, 180) (no antimeridian-crossing boxes), lat is
+clamped to [-90, 90] (B8, README.md:187-188). Cells are hexagons in
+*degree* space, so physical size varies with latitude — irrelevant for
+index correctness (cover ⊇ content is the only invariant joins need),
+only for balance, which salting + AQE handle (plans/strategy.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+try:  # pragma: no cover - optional accelerator, absent in this env
+    import h3 as _h3  # noqa: F401
+
+    HAS_H3 = True
+except Exception:  # pragma: no cover
+    HAS_H3 = False
+
+# res-0 hexagon circumradius in degrees; shrinks by √7 per resolution
+# (H3 aperture-7 scaling). res 7 → ~0.011° ≈ 1.2 km, comparable to H3
+# res 7's ~1.2 km edge.
+BASE_SIZE_DEG = 10.0
+APERTURE_SQRT = math.sqrt(7.0)
+MAX_RES = 15
+
+_Q_OFF = 1 << 27
+_Q_SHIFT = 1 << 28
+_RES_SHIFT = 1 << 56
+
+_SQRT3_3 = math.sqrt(3.0) / 3.0
+
+
+def size_deg(res: int) -> float:
+    """Hex circumradius in degrees at ``res``."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
+    return BASE_SIZE_DEG / (APERTURE_SQRT**res)
+
+
+def _axial_frac(lat: Column, lon: Column, res: int) -> tuple[Column, Column]:
+    """Fractional axial (q, r) of a point. Pointy-top hexes:
+    q = (√3/3·x − 1/3·y)/size,  r = (2/3·y)/size with x=lon, y=lat."""
+    s = size_deg(res)
+    lat_c = F.greatest(F.lit(-90.0), F.least(F.lit(90.0), lat))
+    q = (F.lit(_SQRT3_3) * lon - lat_c / F.lit(3.0)) / F.lit(s)
+    r = (F.lit(2.0 / 3.0) * lat_c) / F.lit(s)
+    return q, r
+
+
+def _cube_round(q: Column, r: Column) -> tuple[Column, Column]:
+    """Round fractional axial coords to the containing hex (cube
+    rounding), entirely in column expressions."""
+    y = -q - r
+    rq, rr, ry = F.round(q, 0), F.round(r, 0), F.round(y, 0)
+    dq, dr, dy = F.abs(rq - q), F.abs(rr - r), F.abs(ry - y)
+    fix_q = (dq > dr) & (dq > dy)
+    fix_r = ~fix_q & (dr > dy)
+    q_out = F.when(fix_q, -ry - rr).otherwise(rq)
+    r_out = F.when(fix_r, -rq - ry).otherwise(rr)
+    return q_out.cast("long"), r_out.cast("long")
+
+
+def pack_cell(res: int, q: Column, r: Column) -> Column:
+    """Pack (res, q, r) into one long (linear in q and r)."""
+    return (
+        F.lit(res).cast("long") * F.lit(_RES_SHIFT)
+        + (q + F.lit(_Q_OFF)) * F.lit(_Q_SHIFT)
+        + (r + F.lit(_Q_OFF))
+    )
+
+
+def hex_cell(lat: Column, lon: Column, res: int) -> Column:
+    """Hex cell id of a point — the engine's ``latlng_to_cell``."""
+    q, r = _axial_frac(lat, lon, res)
+    qi, ri = _cube_round(q, r)
+    return pack_cell(res, qi, ri)
+
+
+def hex_cell_cover(
+    min_lat: Column,
+    max_lat: Column,
+    min_lon: Column,
+    max_lon: Column,
+    res: int,
+) -> Column:
+    """array<long> of hex cells covering a lat/lon box — the engine's
+    ``polygon_to_cells`` for envelopes (the reference's only polygon
+    shape, built by ST_MakeEnvelope at changesetmd.py:166,173).
+
+    Correctness invariant (what the coarse→refine join needs):
+    cover(box) ⊇ { hex_cell(p) : p ∈ box }. q is monotone ↑lon ↓lat and
+    r is monotone ↑lat, so fractional extremes sit at box corners; ±1
+    cell of margin absorbs cube rounding. The cover is the full axial
+    rectangle — a superset, pruned by the exact refine predicate.
+    """
+    s = size_deg(res)
+    lat_lo = F.greatest(F.lit(-90.0), F.least(F.lit(90.0), min_lat))
+    lat_hi = F.greatest(F.lit(-90.0), F.least(F.lit(90.0), max_lat))
+    q_min = (F.lit(_SQRT3_3) * min_lon - lat_hi / F.lit(3.0)) / F.lit(s)
+    q_max = (F.lit(_SQRT3_3) * max_lon - lat_lo / F.lit(3.0)) / F.lit(s)
+    r_min = (F.lit(2.0 / 3.0) * lat_lo) / F.lit(s)
+    r_max = (F.lit(2.0 / 3.0) * lat_hi) / F.lit(s)
+    q_lo = F.floor(q_min).cast("long") - F.lit(1)
+    q_hi = F.ceil(q_max).cast("long") + F.lit(1)
+    r_lo = F.floor(r_min).cast("long") - F.lit(1)
+    r_hi = F.ceil(r_max).cast("long") + F.lit(1)
+    base = F.lit(res).cast("long") * F.lit(_RES_SHIFT)
+    return F.flatten(
+        F.transform(
+            F.sequence(q_lo, q_hi),
+            lambda q: F.transform(
+                F.sequence(r_lo, r_hi),
+                lambda r: base
+                + (q + F.lit(_Q_OFF)) * F.lit(_Q_SHIFT)
+                + (r + F.lit(_Q_OFF)),
+            ),
+        )
+    )
+
+
+def disk_offsets(k: int) -> list[tuple[int, int]]:
+    """All axial offsets within hex distance k (|dq|,|dr|,|dq+dr| ≤ k)."""
+    out = []
+    for dq in range(-k, k + 1):
+        for dr in range(max(-k, -dq - k), min(k, -dq + k) + 1):
+            out.append((dq, dr))
+    return out
+
+
+def grid_disk(cell: Column, k: int) -> Column:
+    """array<long> of all cells within k hex rings of ``cell`` — the
+    engine's ``grid_disk``, used for kNN cell-ring expansion
+    (SURVEY.md §2.c). Pure arithmetic thanks to linear packing."""
+    deltas = [dq * _Q_SHIFT + dr for dq, dr in disk_offsets(k)]
+    return F.transform(
+        F.array(*[F.lit(d).cast("long") for d in deltas]),
+        lambda d: cell + d,
+    )
+
+
+def cell_to_parent(cell: Column, child_res: int, parent_res: int) -> Column:
+    """Re-encode a cell at a coarser resolution via its center point."""
+    lat, lon = cell_center(cell, child_res)
+    return hex_cell(lat, lon, parent_res)
+
+
+def cell_center(cell: Column, res: int) -> tuple[Column, Column]:
+    """(lat, lon) center of a cell id at known ``res``."""
+    s = size_deg(res)
+    qr = cell - F.lit(res).cast("long") * F.lit(_RES_SHIFT)
+    # bit ops, not double division: packed values exceed double mantissa
+    q = F.shiftright(qr, 28) - F.lit(_Q_OFF)
+    r = qr.bitwiseAND(F.lit(_Q_SHIFT - 1)) - F.lit(_Q_OFF)
+    lat = F.lit(1.5 * s) * r
+    lon = F.lit(s) * (F.lit(math.sqrt(3.0)) * q + F.lit(math.sqrt(3.0) / 2.0) * r)
+    return lat, lon
+
+
+# ---------------------------------------------------------------------------
+# numpy twins — used by tests (independent re-derivation) and by any
+# Arrow-UDF path that wants cells without a shuffle-side expression.
+# ---------------------------------------------------------------------------
+
+def hex_cell_np(lat: np.ndarray, lon: np.ndarray, res: int) -> np.ndarray:
+    s = size_deg(res)
+    lat_c = np.clip(np.asarray(lat, dtype=np.float64), -90.0, 90.0)
+    lon = np.asarray(lon, dtype=np.float64)
+    q = (_SQRT3_3 * lon - lat_c / 3.0) / s
+    r = (2.0 / 3.0 * lat_c) / s
+    y = -q - r
+    # np.round is banker's rounding; Spark F.round(_, 0) is HALF_UP.
+    # Match Spark: floor(x + 0.5) for positives, ceil(x - 0.5) for negs.
+    def _half_up(x: np.ndarray) -> np.ndarray:
+        return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+
+    rq, rr, ry = _half_up(q), _half_up(r), _half_up(y)
+    dq, dr, dy = np.abs(rq - q), np.abs(rr - r), np.abs(ry - y)
+    fix_q = (dq > dr) & (dq > dy)
+    fix_r = ~fix_q & (dr > dy)
+    q_out = np.where(fix_q, -ry - rr, rq).astype(np.int64)
+    r_out = np.where(fix_r, -rq - ry, rr).astype(np.int64)
+    return (
+        np.int64(res) * np.int64(_RES_SHIFT)
+        + (q_out + _Q_OFF) * np.int64(_Q_SHIFT)
+        + (r_out + _Q_OFF)
+    )

@@ -1,0 +1,132 @@
+"""Flagship spatial-join correctness vs a brute-force oracle
+(SURVEY.md §5: "envelope-containment join results vs a brute-force
+pandas oracle")."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from changesetmd_spark import synth
+from changesetmd_spark.functions import geo
+from changesetmd_spark.operators import spatial_join as sj
+
+
+def _points_df(spark, n=3000, seed=11):
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame(
+        {
+            "point_id": np.arange(n),
+            "lat": rng.uniform(-89, 89, n),
+            "lon": rng.uniform(-179, 179, n),
+        }
+    )
+    return spark.createDataFrame(pdf), pdf
+
+
+def _boxes_df(spark, n=300, seed=12):
+    rng = np.random.default_rng(seed)
+    clat = rng.uniform(-85, 85, n)
+    clon = rng.uniform(-175, 175, n)
+    dlat = rng.uniform(0.01, 4.0, n)
+    dlon = rng.uniform(0.01, 4.0, n)
+    pdf = pd.DataFrame(
+        {
+            "box_id": np.arange(n),
+            "min_lat": clat - dlat,
+            "max_lat": clat + dlat,
+            "min_lon": clon - dlon,
+            "max_lon": clon + dlon,
+        }
+    )
+    # poison a few rows: inverted / out-of-range (the ST_MakeValid cases)
+    pdf.loc[0, ["min_lat", "max_lat"]] = [50.0, 40.0]
+    pdf.loc[1, "max_lat"] = 94.0
+    pdf.loc[1, "min_lat"] = 88.0
+    return spark.createDataFrame(pdf), pdf
+
+
+def _oracle_pairs(points: pd.DataFrame, boxes: pd.DataFrame) -> set[tuple[int, int]]:
+    b = boxes.copy()
+    lo_lat = np.minimum(b.min_lat, b.max_lat).clip(-90, 90)
+    hi_lat = np.maximum(b.min_lat, b.max_lat).clip(-90, 90)
+    lo_lon = np.minimum(b.min_lon, b.max_lon)
+    hi_lon = np.maximum(b.min_lon, b.max_lon)
+    out = set()
+    for pid, plat, plon in points[["point_id", "lat", "lon"]].itertuples(index=False):
+        hit = (plat >= lo_lat) & (plat <= hi_lat) & (plon >= lo_lon) & (plon <= hi_lon)
+        for bid in b.box_id[hit.to_numpy()]:
+            out.add((int(pid), int(bid)))
+    return out
+
+
+def test_contains_join_matches_oracle_all_strategies(spark):
+    points, ppdf = _points_df(spark)
+    boxes, bpdf = _boxes_df(spark)
+    want = _oracle_pairs(ppdf, bpdf)
+    assert len(want) > 100  # non-trivial workload
+
+    for kwargs in (
+        dict(broadcast_boxes=True),
+        dict(broadcast_boxes=False),
+        dict(broadcast_boxes=False, salt_buckets=4, point_salt_key="point_id"),
+    ):
+        got = {
+            (r.point_id, r.box_id)
+            for r in sj.contains_join(points, boxes, res=3, **kwargs)
+            .select("point_id", "box_id")
+            .collect()
+        }
+        assert got == want, f"mismatch for {kwargs}"
+
+
+def test_contains_join_res_invariance(spark):
+    """Result must not depend on the index resolution (only the plan
+    shape does)."""
+    points, _ = _points_df(spark, n=800, seed=21)
+    boxes, _ = _boxes_df(spark, n=60, seed=22)
+    results = []
+    for res in (2, 3, 5):
+        got = {
+            (r.point_id, r.box_id)
+            for r in sj.contains_join(points, boxes, res=res, broadcast_boxes=True)
+            .select("point_id", "box_id")
+            .collect()
+        }
+        results.append(got)
+    assert results[0] == results[1] == results[2]
+
+
+def test_no_duplicate_pairs(spark):
+    points, _ = _points_df(spark, n=2000, seed=31)
+    boxes, _ = _boxes_df(spark, n=150, seed=32)
+    out = sj.contains_join(points, boxes, res=3, broadcast_boxes=True)
+    n = out.count()
+    d = out.select("point_id", "box_id").distinct().count()
+    assert n == d
+
+
+def test_assign_images_payload_pruned_and_reattached(spark):
+    images = synth.images(spark, 400)
+    boxes, _ = _boxes_df(spark, n=80, seed=41)
+    slim = sj.assign_images(images, boxes, res=3, broadcast_boxes=True)
+    assert "bytes" not in slim.columns
+    full = sj.assign_images(images, boxes, res=3, broadcast_boxes=True, keep_payload=True)
+    assert "bytes" in full.columns
+    assert full.count() == slim.count()
+    # geotag parity: recompute lat from phash and compare
+    chk = full.select(
+        (F.abs(geo.clamp_lat(geo.phash_to_lat(F.col("phash"))) - F.col("lat")) < 1e-12).alias("ok")
+    )
+    assert chk.filter(~F.col("ok")).count() == 0
+
+
+def test_broadcast_join_plan_is_shuffle_free_on_points(spark):
+    """The broadcast path must not shuffle the (big) point side."""
+    points, _ = _points_df(spark, n=500, seed=51)
+    boxes, _ = _boxes_df(spark, n=40, seed=52)
+    out = sj.contains_join(points, boxes, res=3, broadcast_boxes=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

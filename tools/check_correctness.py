@@ -1,0 +1,100 @@
+"""Local twin of the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry on Spark AND its
+oracle_sql() on DuckDB at a given sf dir, then compares:
+row count, column-name set, and order-insensitive values (columns
+sorted by name, rows sorted, exact equality; floats reported with max
+abs diff so ulp-level risk is visible before the driver sees it).
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from changesetmd_spark.session import get_spark
+
+    spark = get_spark(app_name="check-correctness", master="local[8]")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir).toPandas()
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(f"{name:28s} rows={len(sdf):7d}  (rows-only, no oracle)  {t_spark:5.1f}s")
+            continue
+        odf = con.execute(oracles[name]).fetchdf()
+        s, o = canon(sdf), canon(odf)
+        ok_rows = len(s) == len(o)
+        ok_cols = list(s.columns) == list(o.columns)
+        ok_vals, max_float_diff = True, 0.0
+        if ok_rows and ok_cols:
+            for c in s.columns:
+                a, b = s[c], o[c]
+                if a.dtype.kind == "f" or b.dtype.kind == "f":
+                    d = (a.astype(float) - b.astype(float)).abs().max()
+                    max_float_diff = max(max_float_diff, 0.0 if pd.isna(d) else d)
+                    if not (a.astype(float) == b.astype(float)).all():
+                        ok_vals = False
+                else:
+                    if not (a.astype(str) == b.astype(str)).all():
+                        ok_vals = False
+        status = "OK " if (ok_rows and ok_cols and ok_vals) else "FAIL"
+        print(
+            f"{name:28s} {status} rows={len(sdf):7d}/{len(odf):7d} "
+            f"cols={'=' if ok_cols else 'DIFF'} maxfloatdiff={max_float_diff:.2e} {t_spark:5.1f}s"
+        )
+        if status == "FAIL":
+            failures.append(name)
+            if not ok_cols:
+                print(f"   spark cols: {list(s.columns)}\n   oracle cols: {list(o.columns)}")
+            elif ok_rows:
+                neq = ~(s.astype(str) == o.astype(str)).all(axis=1)
+                print("   first diffs (spark vs oracle):")
+                print(pd.concat([s[neq].head(3), o[neq].head(3)], axis=1).to_string())
+    spark.stop()
+    if failures:
+        print("FAILURES:", failures)
+        return 1
+    print("all queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
