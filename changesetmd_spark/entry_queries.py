@@ -26,9 +26,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions import geo
+from .operators import dedup as dedup_ops
 from .operators import knn as knn_ops
+from .operators import multimodal
 from .operators import overlay as overlay_ops
+from .operators import similarity as sim_ops
 from .operators import spatial_join as sj
+from .operators import text as text_ops
 
 # ---------------------------------------------------------------------------
 # shared derivations
@@ -172,16 +176,18 @@ def q_key_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B6: parent-child key join + money rollup (decimal-exact sums)."""
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    rev = (
-        F.col("l_extendedprice").cast("decimal(18,6)")
-        * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
-    )
+    # integral-decimal arithmetic: price in cents × discount in percent
+    # → every intermediate is an exact integer-valued decimal, so the
+    # final cast to long has no rounding path in either engine.
+    cents = F.col("l_extendedprice").cast("decimal(18,2)") * 100
+    disc_pct = F.col("l_discount").cast("decimal(18,2)") * 100
+    rev_q4 = cents * (F.lit(100) - disc_pct)  # currency × 10^4
     return (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_items"),
-            F.sum(rev).cast("decimal(38,6)").alias("revenue"),
+            F.sum(rev_q4).cast("long").alias("revenue_q4"),
         )
     )
 
@@ -238,7 +244,10 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = knn_ops.knn_join_exact(queries, points, k=5)
     return out.select(
-        "query_id", "point_id", "knn_rank", F.floor(F.col("dist_km") * 1e6).alias("dist_qkm")
+        "query_id",
+        "point_id",
+        F.col("knn_rank").cast("long").alias("knn_rank"),
+        F.floor(F.col("dist_km") * 1e6).alias("dist_qkm"),
     )
 
 
@@ -248,6 +257,186 @@ def q_tile_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = boxes_from_supplier(load(spark, sf_dir, "supplier"))
     out = overlay_ops.overlay_join(a, b, zoom=6, broadcast_b=True)
     return out.select(F.col("a_box_id").alias("cust_box"), F.col("b_box_id").alias("supp_box"))
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup: md5 group, keep min doc_id."""
+    return dedup_ops.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (sparse inverted-index join)."""
+    return dedup_ops.ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline (bands → candidates → exact refine)."""
+    return dedup_ops.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (band buckets → hamming refine)."""
+    return dedup_ops.simhash_pairs(load(spark, sf_dir, "documents"))
+
+
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID + quality features + rolling fingerprint per doc."""
+    docs = load(spark, sf_dir, "documents")
+    feats = text_ops.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        text_ops.lang_id(F.col("text")).alias("lang_pred"),
+        text_ops.fingerprint(F.col("text")).alias("fp"),
+        *[c.alias(n) for n, c in feats.items()],
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k over embeddings (integer-quantized)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return sim_ops.cosine_topk(queries, emb, k=10)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN top-k (scale path, bucket equi-join)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return sim_ops.ann_lsh_topk(queries, emb, k=10)
+
+
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal roundtrip: synthesize FKIM image blobs from phash
+    (Arrow mapInPandas encode), decode them back (mapInPandas decode),
+    emit integer pixel stats. The oracle reproduces the stats in
+    closed form from phash — so a mismatch anywhere in the binary
+    encode→store→decode path fails the gate."""
+    import numpy as np
+    import pandas as pd
+
+    from changesetmd_spark import synth
+
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = orders.select(
+        F.format_string("img%012d", k).alias("image_id"),
+        (
+            F.pmod(k * 2654435761, F.lit(4294967296)) * F.lit(2147483648)
+            + F.pmod(k * 104729 + 42, F.lit(2147483648))
+        ).alias("phash"),
+        F.when(F.pmod(k, 2) == 0, "fraw").otherwise("fjpg").alias("fmt"),
+        F.pmod(k, 2).alias("parity"),
+    )
+
+    from pyspark.sql.types import (
+        BinaryType, LongType, StringType, StructField, StructType,
+    )
+
+    enc_schema = StructType(
+        [
+            StructField("image_id", StringType(), False),
+            StructField("bytes", BinaryType(), False),
+            StructField("phash", LongType(), False),
+        ]
+    )
+
+    W = H = 8
+
+    def encode(batches):
+        for pdf in batches:
+            fmt_code = np.where(pdf["fmt"].to_numpy() == "fraw", 0, 1).astype(np.int64)
+            blobs = synth.encode_image(pdf["phash"].to_numpy(), W, H, fmt_code)
+            yield pd.DataFrame(
+                {"image_id": pdf["image_id"], "bytes": blobs, "phash": pdf["phash"]}
+            )
+
+    images = base.mapInPandas(encode, enc_schema)
+    stats = multimodal.decode_stats(images)
+    return stats.select(
+        "image_id",
+        "fmt",
+        F.col("w").cast("long").alias("w"),
+        F.col("h").cast("long").alias("h"),
+        "pixel_sum",
+        F.col("pixel_min").cast("long").alias("pixel_min"),
+        F.col("pixel_max").cast("long").alias("pixel_max"),
+    )
+
+
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 15-min window aggregation over the event stream."""
+    ev = load(spark, sf_dir, "events")
+    win = (F.floor(F.unix_timestamp(F.col("ts")) / 900) * 900).alias("window_start")
+    val = F.col("value").cast("decimal(18,6)")
+    return ev.groupBy(win, F.col("event_type")).agg(
+        F.count("*").alias("n"),
+        (F.sum(val) * 1000000).cast("long").alias("sum_value_micro"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via window funcs —
+    the reference has no window functions (SURVEY.md §2.c); this is
+    part of the engine's widened surface."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts"))
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("session_id", F.sum(new_sess).over(w))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(epoch).alias("start_epoch"),
+        F.max(epoch).alias("end_epoch"),
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by retail price per brand (row_number window)."""
+    from pyspark.sql import Window
+
+    part = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        part.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "rk")
+    )
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets rollup: customer counts by region → nation."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    j = cust.join(nation, cust.c_nationkey == nation.n_nationkey).join(
+        region, nation.n_regionkey == region.r_regionkey
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("(all)")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("(all)")).alias("nation"),
+            "n",
+        )
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations at (user, day) grain: days a user clicked AND
+    purchased but had no error."""
+    ev = load(spark, sf_dir, "events")
+    u = lambda t: (  # noqa: E731
+        ev.filter(F.col("event_type") == t)
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    return u("click").intersect(u("purchase")).exceptAll(u("error"))
 
 
 # ---------------------------------------------------------------------------
@@ -283,9 +472,9 @@ ORACLES: dict[str, str] = {
     """,
     "key_join_rollup": """
         SELECT o_orderpriority, count(*) AS n_items,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-                        * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
-                    AS DECIMAL(38,6)) AS revenue
+               CAST(SUM((CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+                        * (100 - CAST(l_discount AS DECIMAL(18,2)) * 100))
+                    AS BIGINT) AS revenue_q4
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY o_orderpriority
     """,
@@ -312,7 +501,7 @@ ORACLES: dict[str, str] = {
             FROM ph
         )
         SELECT point_id,
-               floor(greatest(-90.0, least(90.0, lat_raw)) * 10000) AS lat_q,
+               CAST(floor(greatest(-90.0, least(90.0, lat_raw)) * 10000) AS BIGINT) AS lat_q,
                abs(lat_raw) > 90.0 AS was_out_of_range
         FROM raw
     """,
@@ -339,7 +528,7 @@ ORACLES: dict[str, str] = {
                        PARTITION BY query_id
                        ORDER BY floor(dist_km * 1000000000) ASC, point_id ASC
                    ) AS knn_rank,
-                   floor(dist_km * 1000000) AS dist_qkm
+                   CAST(floor(dist_km * 1000000) AS BIGINT) AS dist_qkm
             FROM d
         )
         SELECT query_id, point_id, knn_rank, dist_qkm FROM r WHERE knn_rank <= 5
@@ -349,6 +538,99 @@ ORACLES: dict[str, str] = {
         FROM ({BOXES_SQL}) a JOIN ({SUPPLIER_BOXES_SQL}) b
         ON NOT (a.max_lon < b.min_lon OR b.max_lon < a.min_lon
                 OR a.max_lat < b.min_lat OR b.max_lat < a.min_lat)
+    """,
+    "exact_dedup": dedup_ops.EXACT_DEDUP_SQL(),
+    "ngram_jaccard": dedup_ops.NGRAM_JACCARD_SQL(),
+    "minhash_lsh": dedup_ops.MINHASH_LSH_SQL(),
+    "simhash": dedup_ops.SIMHASH_PAIRS_SQL(),
+    "text_features": f"""
+        SELECT doc_id,
+               {text_ops.LANG_ID_SQL('text')} AS lang_pred,
+               CAST({text_ops.FINGERPRINT_SQL('text')} AS BIGINT) AS fp,
+               {text_ops.QUALITY_FEATURES_SQL('text')['n_chars']} AS n_chars,
+               {text_ops.QUALITY_FEATURES_SQL('text')['n_tokens']} AS n_tokens,
+               CAST({text_ops.QUALITY_FEATURES_SQL('text')['avg_tok_len_q']} AS BIGINT) AS avg_tok_len_q,
+               CAST({text_ops.QUALITY_FEATURES_SQL('text')['punct_ratio_q']} AS BIGINT) AS punct_ratio_q,
+               CAST({text_ops.QUALITY_FEATURES_SQL('text')['stop_ratio_q']} AS BIGINT) AS stop_ratio_q
+        FROM documents
+    """,
+    "cosine_topk": sim_ops.COSINE_TOPK_SQL(10, "vec_id < 20"),
+    "ann_lsh": sim_ops.ANN_LSH_SQL(10, "vec_id < 20"),
+    "image_decode": """
+        WITH ph AS (
+            SELECT 'img' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS image_id,
+                   ((o_orderkey * 2654435761 % 4294967296) * 2147483648
+                    + (o_orderkey * 104729 + 42) % 2147483648) AS phash,
+                   CASE WHEN o_orderkey % 2 = 0 THEN 'fraw' ELSE 'fjpg' END AS fmt,
+                   o_orderkey % 2 AS parity
+            FROM orders
+        ),
+        px AS (
+            SELECT image_id, fmt,
+                   CASE WHEN parity = 1
+                        THEN ((phash + k * 2654435761) % 256) - ((phash + k * 2654435761) % 256) % 4
+                        ELSE (phash + k * 2654435761) % 256 END AS v
+            FROM ph, (SELECT unnest(generate_series(1, 192)) AS k)
+        )
+        SELECT image_id, fmt,
+               CAST(8 AS BIGINT) AS w, CAST(8 AS BIGINT) AS h,
+               CAST(sum(v) AS BIGINT) AS pixel_sum,
+               CAST(min(v) AS BIGINT) AS pixel_min,
+               CAST(max(v) AS BIGINT) AS pixel_max
+        FROM px GROUP BY image_id, fmt
+    """,
+    "event_windows": """
+        SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 900) * 900 AS BIGINT) AS window_start,
+               event_type, count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_value_micro
+        FROM events GROUP BY 1, 2
+    """,
+    "sessionize": """
+        WITH e AS (
+            SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep, ts
+            FROM events
+        ),
+        g AS (
+            SELECT user_id, event_id, ep,
+                   CASE WHEN ep - lag(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                        OR lag(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_sess,
+                   ts
+            FROM e
+        ),
+        s AS (
+            SELECT user_id, ep,
+                   CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+            FROM g
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ep) AS start_epoch, max(ep) AS end_epoch
+        FROM s GROUP BY user_id, session_id
+    """,
+    "topk_per_group": """
+        SELECT p_brand, p_partkey, rk FROM (
+            SELECT p_brand, p_partkey,
+                   CAST(row_number() OVER (
+                       PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC
+                   ) AS BIGINT) AS rk
+            FROM part
+        ) WHERE rk <= 3
+    """,
+    "rollup": """
+        SELECT coalesce(r_name, '(all)') AS region,
+               coalesce(n_name, '(all)') AS nation,
+               count(*) AS n
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "set_ops": """
+        (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'click'
+         INTERSECT
+         SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'purchase')
+        EXCEPT
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'error'
     """,
 }
 
@@ -364,4 +646,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lat_clamp": q_lat_clamp,
     "knn": q_knn,
     "tile_overlay": q_tile_overlay,
+    "exact_dedup": q_exact_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "text_features": q_text_features,
+    "cosine_topk": q_cosine_topk,
+    "ann_lsh": q_ann_lsh,
+    "image_decode": q_image_decode,
+    "event_windows": q_event_windows,
+    "sessionize": q_sessionize,
+    "topk_per_group": q_topk_per_group,
+    "rollup": q_rollup,
+    "set_ops": q_set_ops,
 }

@@ -1,0 +1,404 @@
+"""Deduplication family for training-data pipelines (task brief):
+exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Design for 100 TB: every method is a *sparse* similarity join — no
+all-pairs stage ever materializes. Candidates come from inverted
+indexes (shared shingle / LSH band / SimHash band), which are hash
+equi-joins Catalyst can shuffle-partition; the exact refine runs only
+on candidates. Outputs are deterministic and every algorithm is
+replicated 1:1 in ANSI SQL for the DuckDB oracle (same hashes — md5
+prefixes — same band layout, same quantization), so the gate checks
+the *algorithm*, not a vague approximation of it.
+
+Pair convention: undirected, emitted once with doc_a < doc_b.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import TOKEN_HASH_SQL, TOKENS_SQL, token_hash, tokens
+
+# MinHash parameters (shared by Spark + oracle SQL)
+N_PERM = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_PERM // N_BANDS
+MH_PRIME = 4294967311  # smallest prime > 2^32
+JACCARD_T_Q = 700000  # τ = 0.70 quantized ×1e6
+SHINGLE_K = 3
+
+# SimHash parameters: 32-bit hash, 4 bands × 8 bits, hamming ≤ 3
+SH_BITS = 32
+SH_BANDS = 4
+SH_BAND_BITS = SH_BITS // SH_BANDS
+SH_MAX_HAMMING = 3
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: md5 grouping, keep the smallest id per group.
+    Returns (kept_id, n_dups). One shuffle, map-side partial agg."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("_h"))
+        .agg(
+            F.min(id_col).alias("kept_id"),
+            F.count("*").alias("n_dups"),
+        )
+        .drop("_h")
+        .select("kept_id", "n_dups")
+    )
+
+
+def EXACT_DEDUP_SQL(id_col: str = "doc_id", text_col: str = "text", table: str = "documents") -> str:
+    return f"""
+        SELECT min({id_col}) AS kept_id, count(*) AS n_dups
+        FROM {table} GROUP BY md5({text_col})
+    """
+
+
+# ---------------------------------------------------------------------------
+# shingles
+# ---------------------------------------------------------------------------
+
+def shingles(text_col) -> object:
+    """Distinct k-word shingles of a document (array<string>). Short
+    docs (<k tokens) produce one whole-text shingle."""
+    toks = tokens(text_col)
+    n = F.greatest(F.size(toks) - F.lit(SHINGLE_K - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_K)),
+        )
+    )
+
+
+def SHINGLES_SQL(text: str) -> str:
+    toks = TOKENS_SQL(text)
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len({toks}) - {SHINGLE_K - 1}, 1)), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {SHINGLE_K - 1}), ' ')))"
+    )
+
+
+def _exploded_shingle_hashes(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sh) rows: one per distinct shingle hash per doc."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col))).alias("_s"),
+    ).select("id", token_hash(F.col("_s")).alias("sh"))
+
+
+def _SHINGLE_HASHES_SQL(id_col: str, text_col: str, table: str) -> str:
+    return f"""
+        SELECT {id_col} AS id, {TOKEN_HASH_SQL('s')} AS sh
+        FROM (SELECT {id_col}, unnest({SHINGLES_SQL(text_col)}) AS s FROM {table})
+    """
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact sparse similarity join)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold_q: int = JACCARD_T_Q,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ τ. Inverted-index join on
+    shingle hash (candidates share ≥1 shingle — everything above τ>0
+    does), count common per pair, compute |A∪B| = |A|+|B|−common.
+    Returns (doc_a, doc_b, jaccard_q)."""
+    sh = _exploded_shingle_hashes(docs, id_col, text_col).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac_q = F.floor(
+        F.col("n_common") * 1000000 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac_q.alias("jaccard_q"))
+        .filter(F.col("jaccard_q") >= threshold_q)
+    )
+
+
+def NGRAM_JACCARD_SQL(
+    threshold_q: int = JACCARD_T_Q,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    sh = _SHINGLE_HASHES_SQL(id_col, text_col, table)
+    return f"""
+        WITH sh AS ({sh}),
+        sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+        common AS (
+            SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+            GROUP BY a.id, b.id
+        )
+        SELECT doc_a, doc_b,
+               CAST(floor(n_common * 1000000 / (sa.n_sh + sb.n_sh - n_common)) AS BIGINT) AS jaccard_q
+        FROM common
+        JOIN sizes sa ON sa.id = doc_a
+        JOIN sizes sb ON sb.id = doc_b
+        WHERE floor(n_common * 1000000 / (sa.n_sh + sb.n_sh - n_common)) >= {threshold_q}
+    """
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+def _perm_a(j: int) -> int:
+    return 2 * j + 1
+
+
+def _perm_b(j: int) -> int:
+    return 7919 * j + 13
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, perm, minhash): explode shingle hashes × permutations and
+    take per-(id, perm) minima. Permutation j: (a_j·h + b_j) mod P.
+    a_j·h ≤ 33·2^32 ≈ 1.4e11 — ANSI-safe."""
+    sh = _exploded_shingle_hashes(docs, id_col, text_col)
+    perms = F.explode(F.sequence(F.lit(0), F.lit(N_PERM - 1))).alias("perm")
+    ab = sh.select("id", "sh", perms)
+    mh = F.pmod(
+        (F.col("perm") * 2 + 1) * F.col("sh") + (F.col("perm") * 7919 + 13),
+        F.lit(MH_PRIME),
+    )
+    return ab.select("id", "perm", mh.alias("mh")).groupBy("id", "perm").agg(
+        F.min("mh").alias("minhash")
+    )
+
+
+def lsh_bands(signatures: DataFrame) -> DataFrame:
+    """(id, band, band_sig): fold each band's ROWS_PER_BAND minhashes
+    into one signature (order-fixed polynomial over the sorted perm
+    index — deterministic)."""
+    banded = signatures.withColumn("band", F.floor(F.col("perm") / ROWS_PER_BAND))
+    # polynomial fold in perm order: sig = Σ mh_i · 31^(i within band) mod FP
+    within = F.pmod(F.col("perm"), F.lit(ROWS_PER_BAND))
+    term = F.pmod(
+        F.col("minhash") * F.pow(F.lit(31.0), within).cast("long"), F.lit(MH_PRIME)
+    )
+    return (
+        banded.withColumn("term", term)
+        .groupBy("id", "band")
+        .agg(F.pmod(F.sum("term"), F.lit(MH_PRIME)).alias("band_sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold_q: int = JACCARD_T_Q,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH near-dup detection: candidates = pairs sharing any
+    LSH band signature; refine = exact shingle Jaccard ≥ τ on the
+    candidate set only. Returns (doc_a, doc_b, jaccard_q).
+
+    At scale the candidate join is a hash equi-join on (band,
+    band_sig) — the classic LSH bucket join; the refine re-joins the
+    (cached) shingle index only for candidate pairs.
+    """
+    sh = _exploded_shingle_hashes(docs, id_col, text_col).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+
+    bands = lsh_bands(minhash_signatures(docs, id_col, text_col))
+    ba = bands.alias("ba")
+    bb = bands.alias("bb")
+    cands = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.band_sig") == F.col("bb.band_sig"))
+            & (F.col("ba.id") < F.col("bb.id")),
+        )
+        .select(F.col("ba.id").alias("doc_a"), F.col("bb.id").alias("doc_b"))
+        .distinct()
+    )
+    a = sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("_bid"), F.col("sh").alias("sh_b"))
+    common = (
+        cands.join(a, "doc_a")
+        .join(b, (F.col("doc_b") == F.col("_bid")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac_q = F.floor(
+        F.col("n_common") * 1000000 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac_q.alias("jaccard_q"))
+        .filter(F.col("jaccard_q") >= threshold_q)
+    )
+
+
+def MINHASH_LSH_SQL(
+    threshold_q: int = JACCARD_T_Q,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    sh = _SHINGLE_HASHES_SQL(id_col, text_col, table)
+    return f"""
+        WITH sh AS ({sh}),
+        sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+        mh AS (
+            SELECT id, perm, min(((perm * 2 + 1) * sh + (perm * 7919 + 13)) % {MH_PRIME}) AS minhash
+            FROM sh, (SELECT unnest(generate_series(0, {N_PERM - 1})) AS perm)
+            GROUP BY id, perm
+        ),
+        bands AS (
+            SELECT id, CAST(floor(perm / {ROWS_PER_BAND}) AS BIGINT) AS band,
+                   SUM((minhash * CAST(pow(31.0, perm % {ROWS_PER_BAND}) AS BIGINT)) % {MH_PRIME}) % {MH_PRIME} AS band_sig
+            FROM mh GROUP BY 1, 2
+        ),
+        cands AS (
+            SELECT DISTINCT ba.id AS doc_a, bb.id AS doc_b
+            FROM bands ba JOIN bands bb
+              ON ba.band = bb.band AND ba.band_sig = bb.band_sig AND ba.id < bb.id
+        ),
+        common AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_common
+            FROM cands c
+            JOIN sh a ON a.id = c.doc_a
+            JOIN sh b ON b.id = c.doc_b AND a.sh = b.sh
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT doc_a, doc_b,
+               CAST(floor(n_common * 1000000 / (sa.n_sh + sb.n_sh - n_common)) AS BIGINT) AS jaccard_q
+        FROM common
+        JOIN sizes sa ON sa.id = doc_a
+        JOIN sizes sb ON sb.id = doc_b
+        WHERE floor(n_common * 1000000 / (sa.n_sh + sb.n_sh - n_common)) >= {threshold_q}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(text_col) -> object:
+    """32-bit SimHash over distinct token hashes: bit b of the result
+    is 1 iff Σ_tokens (±1 per token's bit b) > 0."""
+    toks = F.array_distinct(tokens(text_col))
+    hashes = F.transform(toks, token_hash)
+    bit_sum = lambda b: F.aggregate(  # noqa: E731
+        hashes,
+        F.lit(0),
+        lambda acc, h: acc
+        + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+    )
+    out = F.lit(0).cast("long")
+    for b in range(SH_BITS):
+        out = out + F.when(bit_sum(b) > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+    return out
+
+
+def SIMHASH_SQL(text: str) -> str:
+    toks = f"list_distinct({TOKENS_SQL(text)})"
+    hashes = f"list_transform({toks}, t -> {TOKEN_HASH_SQL('t')})"
+    parts = []
+    for b in range(SH_BITS):
+        bs = (
+            f"list_reduce(list_prepend(0, list_transform({hashes}, "
+            f"h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)), (a, x) -> a + x)"
+        )
+        parts.append(f"(CASE WHEN {bs} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = SH_MAX_HAMMING,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance ≤ d. Candidates:
+    band equi-join (pigeonhole: d < SH_BANDS ⇒ some band matches
+    exactly); refine: bit_count(xor) ≤ d. Returns (doc_a, doc_b,
+    hamming)."""
+    sigs = docs.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sig"))
+    bands = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("sig"), i * SH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << SH_BAND_BITS) - 1))
+                        .alias("bits"),
+                    )
+                    for i in range(SH_BANDS)
+                ]
+            )
+        ).alias("bd"),
+    ).select("id", "sig", F.col("bd.band").alias("band"), F.col("bd.bits").alias("bits"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cands.select(
+        "doc_a", "doc_b", ham.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def SIMHASH_PAIRS_SQL(
+    max_hamming: int = SH_MAX_HAMMING,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    return f"""
+        WITH sigs AS (
+            SELECT {id_col} AS id, {SIMHASH_SQL(text_col)} AS sig FROM {table}
+        ),
+        bands AS (
+            SELECT id, sig, band,
+                   (sig >> (band * {SH_BAND_BITS})) & {(1 << SH_BAND_BITS) - 1} AS bits
+            FROM sigs, (SELECT unnest(generate_series(0, {SH_BANDS - 1})) AS band)
+        ),
+        cands AS (
+            SELECT DISTINCT a.id AS doc_a, b.id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bits = b.bits AND a.id < b.id
+        )
+        SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+        FROM cands WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+    """

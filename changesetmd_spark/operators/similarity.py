@@ -1,0 +1,283 @@
+"""Similarity search over embedding columns (task brief): brute-force
+cosine top-k baseline + hyperplane-LSH bucketed ANN as the scale path.
+
+Cross-engine determinism design: embeddings (array<float>) are
+quantized element-wise to integers (floor(x·10^6), exact for float32
+inputs) BEFORE any arithmetic, so dot products and squared norms are
+*exact int64 sums* — order-independent, identical in Spark and DuckDB.
+Similarities are then quantized once at the end:
+
+    cos_q = floor(10^6 · dot / (sqrt(n_a) · sqrt(n_b)))
+
+sqrt/division run on identical integer inputs → identical doubles →
+identical floor. Top-k rank ties break by neighbor id.
+
+Scale path (``ann_lsh_topk``): 16 deterministic ±1 hyperplanes (sign
+from integer arithmetic, no RNG) bucket vectors into 2^16 LSH cells;
+candidates join within the query's bucket only — a hash equi-join on
+the bucket id, same shape as the spatial cell join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = 1_000_000  # element quantization
+# multi-table hyperplane LSH (OR-amplification): TABLES independent
+# hash tables of BITS sign-bits each. One monolithic table would be so
+# selective that nothing shares a bucket; multiple small tables give
+# recall ≈ 1-(1-p^BITS)^TABLES for per-plane agreement p.
+LSH_TABLES = 8
+LSH_BITS = 6
+N_PLANES = LSH_TABLES * LSH_BITS
+DIM = 64  # embeddings table dimension
+
+
+def quantized(vec: Column) -> Column:
+    """array<long>: floor(x·1e6) per element (float32→double exact)."""
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * QUANT))
+
+
+def QUANTIZED_SQL(vec: str) -> str:
+    return f"list_transform({vec}, x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+
+
+def dot_int(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def DOT_INT_SQL(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), (x, y) -> x + y)"
+    )
+
+
+def norm2_int(a: Column) -> Column:
+    return dot_int(a, a)
+
+
+def cos_q(dot: Column, n_a: Column, n_b: Column) -> Column:
+    """Quantized cosine: floor(1e6·dot/(√n_a·√n_b)); 0 for zero norms."""
+    denom = F.sqrt(n_a.cast("double")) * F.sqrt(n_b.cast("double"))
+    return F.when(denom > 0, F.floor(dot * F.lit(1e6) / denom)).otherwise(F.lit(0)).cast("long")
+
+
+def COS_Q_SQL(dot: str, n_a: str, n_b: str) -> str:
+    return (
+        f"CASE WHEN sqrt(CAST({n_a} AS DOUBLE)) * sqrt(CAST({n_b} AS DOUBLE)) > 0 "
+        f"THEN CAST(floor({dot} * 1000000.0 / (sqrt(CAST({n_a} AS DOUBLE)) * sqrt(CAST({n_b} AS DOUBLE)))) AS BIGINT) "
+        f"ELSE 0 END"
+    )
+
+
+def _prep(vectors: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    q = quantized(F.col(vec_col))
+    return vectors.select(
+        F.col(id_col).alias(f"{prefix}id"),
+        q.alias(f"{prefix}vec"),
+    ).withColumn(f"{prefix}n2", norm2_int(F.col(f"{prefix}vec")))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Brute-force exact cosine top-k: broadcast the (small) query set,
+    one pass over the vector table, window top-k. Returns
+    (query_id, neighbor_id, cos_sim_q, sim_rank)."""
+    q = F.broadcast(_prep(queries, id_col, vec_col, "q_"))
+    v = _prep(vectors, id_col, vec_col, "v_")
+    pairs = v.crossJoin(q)
+    if exclude_self:
+        pairs = pairs.filter(F.col("q_id") != F.col("v_id"))
+    sim = cos_q(dot_int(F.col("q_vec"), F.col("v_vec")), F.col("q_n2"), F.col("v_n2"))
+    scored = pairs.select(
+        F.col("q_id").alias("query_id"),
+        F.col("v_id").alias("neighbor_id"),
+        sim.alias("cos_sim_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sim_rank") <= k)
+    )
+
+
+def COSINE_TOPK_SQL(
+    k: int,
+    query_pred: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+    exclude_self: bool = True,
+) -> str:
+    return f"""
+        WITH q AS (
+            SELECT {id_col}, {QUANTIZED_SQL(vec_col)} AS qvec,
+                   {DOT_INT_SQL(QUANTIZED_SQL(vec_col), QUANTIZED_SQL(vec_col))} AS qn2
+            FROM {table} WHERE {query_pred}
+        ),
+        v AS (
+            SELECT {id_col}, {QUANTIZED_SQL(vec_col)} AS vvec,
+                   {DOT_INT_SQL(QUANTIZED_SQL(vec_col), QUANTIZED_SQL(vec_col))} AS vn2
+            FROM {table}
+        ),
+        scored AS (
+            SELECT q.{id_col} AS query_id, v.{id_col} AS neighbor_id,
+                   {COS_Q_SQL(DOT_INT_SQL("q.qvec", "v.vvec"), "q.qn2", "v.vn2")} AS cos_sim_q
+            FROM q CROSS JOIN v
+            {("WHERE q." + id_col + " != v." + id_col) if exclude_self else ""}
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos_sim_q,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY cos_sim_q DESC, neighbor_id ASC
+                   ) AS sim_rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cos_sim_q, CAST(sim_rank AS BIGINT) AS sim_rank
+        FROM ranked WHERE sim_rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# hyperplane LSH ANN
+# ---------------------------------------------------------------------------
+
+def plane_sign(plane: int, dim_idx: int) -> int:
+    """Deterministic ±1 pseudo-random hyperplane entries. md5-seeded so
+    planes are genuinely independent (a simple integer-parity formula
+    degenerates: (p+d+pd) mod 2 collapses odd planes to one plane).
+    The signs are baked as literals into both the Spark expression and
+    the oracle SQL, so the two engines share them by construction."""
+    import hashlib
+
+    h = hashlib.md5(f"plane{plane},dim{dim_idx}".encode()).digest()
+    return 1 if h[0] % 2 == 0 else -1
+
+
+def _plane_bit(vec_q: Column, p: int) -> Column:
+    signs = F.array(*[F.lit(plane_sign(p, d)) for d in range(DIM)])
+    proj = F.aggregate(
+        F.zip_with(vec_q, signs, lambda x, s: x * s),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+
+
+def lsh_table_keys(vec_q: Column) -> Column:
+    """array<long> of LSH_TABLES keys: key_t = t·2^BITS + bits_t where
+    bits_t packs the table's BITS sign-bits. Sharing ANY key makes a
+    candidate pair (OR-amplification)."""
+    keys = []
+    for t in range(LSH_TABLES):
+        bits = F.lit(0).cast("long")
+        for i in range(LSH_BITS):
+            bits = bits + _plane_bit(vec_q, t * LSH_BITS + i) * F.lit(1 << i).cast("long")
+        keys.append(F.lit(t << (LSH_BITS + 1)).cast("long") + bits)
+    return F.array(*keys)
+
+
+def _PLANE_BIT_SQL(vec_q: str, p: int) -> str:
+    signs = ", ".join(str(plane_sign(p, d)) for d in range(DIM))
+    proj = DOT_INT_SQL(vec_q, f"[{signs}]")
+    return f"(CASE WHEN {proj} >= 0 THEN 1 ELSE 0 END)"
+
+
+def LSH_TABLE_KEYS_SQL(vec_q: str) -> str:
+    keys = []
+    for t in range(LSH_TABLES):
+        bits = " + ".join(
+            f"{_PLANE_BIT_SQL(vec_q, t * LSH_BITS + i)} * {1 << i}"
+            for i in range(LSH_BITS)
+        )
+        keys.append(f"CAST({t << (LSH_BITS + 1)} + {bits} AS BIGINT)")
+    return "[" + ", ".join(keys) + "]"
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """ANN: candidates restricted to vectors sharing ≥1 LSH table
+    bucket with the query (hash equi-join on table keys — scales to
+    any table size), exact cosine + top-k within candidates.
+    Approximate by design: recall measured in tests against
+    ``cosine_topk``; the bucket join is the 100 TB path (table key is
+    also the natural partition key)."""
+    q = _prep(queries, id_col, vec_col, "q_").withColumn(
+        "bucket", F.explode(lsh_table_keys(F.col("q_vec")))
+    )
+    v = _prep(vectors, id_col, vec_col, "v_").withColumn(
+        "bucket", F.explode(lsh_table_keys(F.col("v_vec")))
+    )
+    pairs = v.join(F.broadcast(q), "bucket")
+    if exclude_self:
+        pairs = pairs.filter(F.col("q_id") != F.col("v_id"))
+    sim = cos_q(dot_int(F.col("q_vec"), F.col("v_vec")), F.col("q_n2"), F.col("v_n2"))
+    scored = pairs.select(
+        F.col("q_id").alias("query_id"),
+        F.col("v_id").alias("neighbor_id"),
+        sim.alias("cos_sim_q"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sim_rank") <= k)
+    )
+
+
+def ANN_LSH_SQL(
+    k: int,
+    query_pred: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+    exclude_self: bool = True,
+) -> str:
+    qv = QUANTIZED_SQL(vec_col)
+    return f"""
+        WITH pre AS (
+            SELECT {id_col}, {qv} AS qvec,
+                   {DOT_INT_SQL(qv, qv)} AS n2,
+                   {LSH_TABLE_KEYS_SQL(qv)} AS keys
+            FROM {table}
+        ),
+        base AS (SELECT {id_col}, qvec, n2, unnest(keys) AS bucket FROM pre),
+        q AS (SELECT * FROM base WHERE {query_pred}),
+        scored AS (
+            SELECT DISTINCT q.{id_col} AS query_id, v.{id_col} AS neighbor_id,
+                   {COS_Q_SQL(DOT_INT_SQL("q.qvec", "v.qvec"), "q.n2", "v.n2")} AS cos_sim_q
+            FROM q JOIN base v ON q.bucket = v.bucket
+            {("AND q." + id_col + " != v." + id_col) if exclude_self else ""}
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos_sim_q,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY cos_sim_q DESC, neighbor_id ASC
+                   ) AS sim_rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cos_sim_q, CAST(sim_rank AS BIGINT) AS sim_rank
+        FROM ranked WHERE sim_rank <= {k}
+    """

@@ -1,0 +1,109 @@
+"""Dedup + similarity operator properties beyond the oracle gate:
+planted near-duplicates are found, LSH recall vs exact, determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from changesetmd_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank today",
+        "spark engines shuffle data across partitions when joins are wide and skewed",
+        "a completely different text about mountains and snow and alpine villages",
+    ]
+    rows = []
+    did = 0
+    for b in base:
+        for rep in range(3):  # 3 exact copies each
+            rows.append((did, b))
+            did += 1
+        # near-dup: first word changed
+        rows.append((did, b.replace(b.split()[0], "changedword", 1)))
+        did += 1
+    # unrelated fillers
+    for i in range(30):
+        rows.append((did, f"filler document number {i} with unique token tok{i} and more tok{i * 7}"))
+        did += 1
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = dedup.exact_dedup(docs).toPandas()
+    # 3 texts × 3 copies → three groups of n_dups=3
+    assert (out.n_dups == 3).sum() == 3
+    assert out.n_dups.sum() == docs.count()
+
+
+def test_ngram_jaccard_finds_planted_neardups(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold_q=500000).toPandas()
+    got = {(a, b) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+    # exact copies (jaccard 1.0) must all pair up: ids {0,1,2}, {4,5,6}, {8,9,10}
+    for grp in ([0, 1, 2], [4, 5, 6], [8, 9, 10]):
+        for i in grp:
+            for j in grp:
+                if i < j:
+                    assert (i, j) in got
+    # near-dup (one word) must clear τ=0.5 against its originals
+    assert (0, 3) in got and (1, 3) in got
+
+
+def test_minhash_lsh_equals_bruteforce_on_fixture(spark, docs):
+    """LSH candidates + exact refine == full exact pairs at this scale
+    (recall 1 here; the oracle gate enforces algorithm parity)."""
+    exact = dedup.ngram_jaccard_pairs(docs, threshold_q=700000).toPandas()
+    lsh = dedup.minhash_lsh_pairs(docs, threshold_q=700000).toPandas()
+    key = lambda df: {(a, b, j) for a, b, j in zip(df.doc_a, df.doc_b, df.jaccard_q)}  # noqa: E731
+    assert key(lsh) == key(exact)
+
+
+def test_simhash_exact_copies_have_zero_hamming(spark, docs):
+    pairs = dedup.simhash_pairs(docs, max_hamming=3).toPandas()
+    z = {(a, b) for a, b, h in zip(pairs.doc_a, pairs.doc_b, pairs.hamming) if h == 0}
+    assert (0, 1) in z and (4, 5) in z and (8, 9) in z
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(42)
+    v = rng.normal(size=(200, 64)).astype(np.float32)
+    # plant near-dup of vec 0 at id 199
+    v[199] = v[0] + rng.normal(scale=0.01, size=64).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(200), "embedding": [row.tolist() for row in v]})
+    return spark.createDataFrame(pdf)
+
+
+def test_cosine_topk_finds_planted_neighbor(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    out = similarity.cosine_topk(q, vectors, k=3).toPandas()
+    assert out.iloc[0].neighbor_id == 199
+    assert out.iloc[0].cos_sim_q > 990000  # ~0.99+
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, vectors):
+    """Bucketed ANN must put the planted near-identical vector in the
+    same bucket (tiny perturbation rarely flips 16 sign bits) and the
+    overall top-1 recall across 20 queries should be high."""
+    q = vectors.filter(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(q, vectors, k=1).toPandas()
+    approx = similarity.ann_lsh_topk(q, vectors, k=1).toPandas()
+    e = dict(zip(exact.query_id, exact.neighbor_id))
+    a = dict(zip(approx.query_id, approx.neighbor_id))
+    assert a.get(0) == e[0] == 199
+    hits = sum(1 for k in e if a.get(k) == e[k])
+    assert hits >= 10  # ≥50% top-1 recall on random data, 16-bit buckets
+
+
+def test_quantization_is_float32_exact():
+    """floor(x·1e6) on float32→float64 is deterministic and total."""
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=1000).astype(np.float32)
+    q1 = np.floor(x.astype(np.float64) * 1_000_000)
+    q2 = np.floor(x.astype(np.float64) * 1_000_000)
+    assert (q1 == q2).all()

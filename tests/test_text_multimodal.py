@@ -1,0 +1,93 @@
+"""Text analytics + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from changesetmd_spark import synth
+from changesetmd_spark.operators import multimodal, text
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "the cat and the dog of a house",
+                    "der hund und die katze ist nicht hier",
+                    "el perro y la casa que una vez",
+                    "xyzzy plugh qwert",
+                ],
+            }
+        )
+    )
+    out = {r.doc_id: r.lang for r in df.select("doc_id", text.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out == {1: "en", 2: "de", 3: "es", 4: "und"}
+
+
+def test_fingerprint_properties(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"t": ["a b c", "a b c", "a  b   c", "c b a", ""]})
+    ).select(text.fingerprint(F.col("t")).alias("fp"))
+    fps = [r.fp for r in df.collect()]
+    assert fps[0] == fps[1] == fps[2]  # whitespace-insensitive, stable
+    assert fps[0] != fps[3]  # order-sensitive (rolling)
+    assert fps[4] == 0  # empty doc
+
+
+def test_token_and_quality_features(spark):
+    df = spark.createDataFrame(pd.DataFrame({"t": ["the cat, the hat!  "]}))
+    feats = text.quality_features(F.col("t"))
+    row = df.select(*[c.alias(n) for n, c in feats.items()]).collect()[0]
+    assert row.n_tokens == 4
+    assert row.punct_ratio_q > 0
+    assert row.stop_ratio_q == 5000  # 2 of 4 tokens are 'the'
+
+
+def test_fake_codec_roundtrip_lossless_and_psnr(spark):
+    """input_hint invariant: payload survives the pipeline; decoded
+    pixels equal for lossless, PSNR ≥ 40 dB for lossy."""
+    images = synth.images(spark, 64, width=16, height=16)
+    rows = images.select("image_id", "bytes", "fmt", "phash").collect()
+    for r in rows:
+        fmt, w, h, px = multimodal.decode_blob(bytes(r.bytes))
+        assert (w, h) == (16, 16)
+        src = synth.pixels_for_phash(np.array([r.phash]), 16, 16)[0]
+        if fmt == "fraw":
+            assert (px == src).all()
+            assert multimodal.psnr_db(px, src) == 999.0
+        else:
+            p = multimodal.psnr_db(px, src)
+            assert p >= 40.0, f"lossy PSNR {p} < 40dB"
+
+
+def test_decode_stats_matches_closed_form(spark):
+    images = synth.images(spark, 50, width=8, height=8)
+    stats = {r.image_id: r for r in multimodal.decode_stats(images).collect()}
+    src = {r.image_id: r.phash for r in images.select("image_id", "phash").collect()}
+    for iid, ph in src.items():
+        px = synth.pixels_for_phash(np.array([ph]), 8, 8)[0]
+        if stats[iid].fmt == "fjpg":
+            px = px & 0xFC
+        assert stats[iid].pixel_sum == int(px.astype(np.int64).sum())
+
+
+def test_resize_shape_and_determinism(spark):
+    images = synth.images(spark, 10, width=16, height=16)
+    small = multimodal.resize(images, 4, 4)
+    rows = small.collect()
+    for r in rows:
+        fmt, w, h, px = multimodal.decode_blob(bytes(r.bytes))
+        assert (w, h) == (4, 4)
+        assert len(px) == 4 * 4 * 3
+    again = {r.image_id: bytes(r.bytes) for r in multimodal.resize(images, 4, 4).collect()}
+    assert {r.image_id: bytes(r.bytes) for r in rows} == again
+
+
+def test_decode_rejects_unknown_codec():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_blob(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)

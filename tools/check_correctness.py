@@ -26,10 +26,18 @@ TABLES = [
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    import decimal
+
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            sample = df[c].dropna()
+            # Decimal columns (Spark decimal → object) sort as floats,
+            # matching DuckDB's float64, not as strings
+            if len(sample) and isinstance(sample.iloc[0], decimal.Decimal):
+                df[c] = df[c].astype(float)
+            else:
+                df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
