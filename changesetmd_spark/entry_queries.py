@@ -439,6 +439,31 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u("click").intersect(u("purchase")).exceptAll(u("error"))
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 MERGE/upsert gate: create a snapshot table from orders,
+    apply 3 deterministic update batches via SnapStore.merge, read the
+    final state. The oracle computes the same latest-row-per-key
+    resolution in pure SQL over the identical update stream — so the
+    whole snapshot/merge read path is checked end-to-end."""
+    import tempfile
+
+    from .sources.snapstore import SnapStore
+
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = orders.select(k.alias("id"), F.col("o_custkey").alias("v"), F.lit(0).alias("seq"))
+    store = SnapStore(spark, tempfile.mkdtemp(prefix="merge_gate_"), key="id")
+    store.create(base)
+    for s in (1, 2, 3):
+        batch = orders.filter(F.pmod(k, s + 3) == 0).select(
+            k.alias("id"),
+            (F.col("o_custkey") + s * 1000000).alias("v"),
+            F.lit(s).alias("seq"),
+        )
+        store.merge(batch)
+    return store.read().select("id", "v", "seq")
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect-compatible ANSI)
 # ---------------------------------------------------------------------------
@@ -625,6 +650,23 @@ ORACLES: dict[str, str] = {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY ROLLUP (r_name, n_name)
     """,
+    "merge_upsert": """
+        WITH stream AS (
+            SELECT o_orderkey AS id, o_custkey AS v, 0 AS seq FROM orders
+            UNION ALL
+            SELECT o_orderkey, o_custkey + 1000000, 1 FROM orders WHERE o_orderkey % 4 = 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey + 2000000, 2 FROM orders WHERE o_orderkey % 5 = 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey + 3000000, 3 FROM orders WHERE o_orderkey % 6 = 0
+        ),
+        latest AS (
+            SELECT id, v, seq,
+                   row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+            FROM stream
+        )
+        SELECT id, v, seq FROM latest WHERE rn = 1
+    """,
     "set_ops": """
         (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'click'
          INTERSECT
@@ -659,4 +701,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_per_group": q_topk_per_group,
     "rollup": q_rollup,
     "set_ops": q_set_ops,
+    "merge_upsert": q_merge_upsert,
 }

@@ -1,0 +1,170 @@
+"""Checkpointed incremental replication — the reference's streaming
+loop (A13/A14, do_replication changesetmd.py:302-419 and
+do_partial_replication :421-491), re-expressed over SnapStore.
+
+Semantics preserved 1:1:
+- watermark read from the state row under the update_in_progress
+  mutex (LOCK ... NOWAIT, :309-329); mutex always released, even on
+  error (:332-333, 411-413);
+- head-sequence discovery (state.yaml fetch :337-343) — here the
+  source's ``head()``;
+- per-sequence fetch → upsert (ON CONFLICT :164-182 → store.merge)
+  with child-row delete-then-reinsert (:198-201, 236-237 →
+  delete_keys + append);
+- per-batch checkpoint commit (:384-387): state advances only after
+  the merge lands, so a crash replays at-least-once and MERGE's
+  key-idempotency makes the result exactly-once (README.md:103-104:
+  "safe to apply older diffs");
+- bounded replay (``from_seq``/``to_seq``) bypasses the watermark but
+  validates 0 < from ≤ to (:424-433).
+
+The micro-batch source here is deterministic/synthetic (no network in
+this sandbox); its interface — ``head()`` + ``fetch(seq)`` — matches
+what an HTTP replication endpoint adapter would implement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .snapstore import SnapStore
+
+
+class SyntheticReplicationSource:
+    """Deterministic changeset micro-batches keyed by sequence number.
+
+    Each sequence yields ``batch_size`` rows: a mix of updates to
+    existing ids (closed_at/num_changes/tags churn) and brand-new ids —
+    mirroring the reference fixture's replication diffs
+    (FIXTURES.md §5). Pure function of (seq, row index): replays are
+    bit-identical, so idempotency tests are exact.
+    """
+
+    def __init__(self, spark: SparkSession, head_seq: int = 5, batch_size: int = 50,
+                 base_ids: int = 1264):
+        self.spark = spark
+        self._head = head_seq
+        self.batch_size = batch_size
+        self.base_ids = base_ids
+
+    def head(self) -> int:
+        return self._head
+
+    def fetch(self, seq: int) -> DataFrame:
+        if not 0 < seq <= self._head:
+            raise ValueError(f"sequence {seq} out of range (0, {self._head}]")
+        n = self.batch_size
+        b = (
+            self.spark.range(n)
+            .withColumn("seq", F.lit(seq))
+            # 60% updates to existing ids, 40% new ids beyond the base
+            .withColumn(
+                "id",
+                F.when(
+                    F.pmod(F.col("id"), 5) < 3,
+                    F.pmod(F.col("id") * 37 + F.lit(seq) * 101, self.base_ids) + 1,
+                ).otherwise(self.base_ids + F.lit(seq) * n + F.col("id")),
+            )
+            .withColumn("user_id", F.pmod(F.col("id") * 7, 500))
+            .withColumn(
+                "created_at",
+                F.to_timestamp(F.lit("2021-01-01 00:00:00"))
+                + F.make_interval(mins=F.pmod(F.col("id") * 13, 525600).cast("int")),
+            )
+            .withColumn(
+                "closed_at",
+                F.col("created_at") + F.make_interval(mins=(F.lit(seq) * 10).cast("int")),
+            )
+            .withColumn("open", F.lit(False))
+            .withColumn("num_changes", (F.pmod(F.col("id") * 3, 1000) + F.lit(seq)).cast("int"))
+            .withColumn("user_name", F.concat(F.lit("user_"), F.col("user_id")))
+            .withColumn("min_lat", F.pmod(F.col("id") * 48271, 1700000) / 10000.0 - 85.0)
+            .withColumn("max_lat", F.col("min_lat") + 0.1)
+            .withColumn("min_lon", F.pmod(F.col("id") * 69621, 3500000) / 10000.0 - 175.0)
+            .withColumn("max_lon", F.col("min_lon") + 0.1)
+            .withColumn(
+                "tags",
+                F.create_map(
+                    F.lit("created_by"), F.lit("replication"),
+                    F.lit("seq"), F.col("seq").cast("string"),
+                ),
+            )
+            .drop("seq")
+        )
+        # dedupe within batch (same id can be hit twice by the update
+        # rule) — keep the last occurrence deterministically
+        w = Window.partitionBy("id").orderBy(F.desc("num_changes"), F.desc("closed_at"))
+        return b.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+    def comments_for(self, seq: int) -> DataFrame:
+        """Child comment rows for a sequence (drives A11)."""
+        return (
+            self.spark.range(10)
+            .withColumn("comment_changeset_id", F.pmod(F.col("id") * 31 + F.lit(seq), self.base_ids) + 1)
+            .withColumn("comment_user_id", F.pmod(F.col("id") * 11, 100) + 1)
+            .withColumn("comment_user_name", F.concat(F.lit("rc_"), F.col("comment_user_id")))
+            .withColumn(
+                "comment_date",
+                F.to_timestamp(F.lit("2021-03-01 00:00:00")) + F.make_interval(hours=(F.lit(seq) * 24 + F.col("id")).cast("int")),
+            )
+            .withColumn("comment_text", F.concat(F.lit("replicated #"), F.lit(seq)))
+            .drop("id")
+        )
+
+
+def replicate(
+    store: SnapStore,
+    source,
+    *,
+    comments_store: SnapStore | None = None,
+    from_seq: int | None = None,
+    to_seq: int | None = None,
+    fail_after: int | None = None,
+) -> dict:
+    """Run the replication loop. Returns a summary dict.
+
+    ``fail_after`` aborts after N batches WITHOUT releasing progress —
+    used by the resume test (crash-recovery semantics).
+    """
+    bounded = from_seq is not None or to_seq is not None
+    if bounded:
+        if from_seq is None or to_seq is None:
+            raise ValueError("bounded replay needs both from_seq and to_seq")
+        if not (isinstance(from_seq, int) and isinstance(to_seq, int)):
+            raise ValueError("sequences must be ints")
+        if not 0 < from_seq <= to_seq:
+            raise ValueError("need 0 < from_seq <= to_seq")
+        start, end = from_seq, min(to_seq, source.head())
+    else:
+        st = store.read_state()
+        start, end = st["last_sequence"] + 1, source.head()
+
+    state = store.acquire()
+    applied = 0
+    try:
+        for seq in range(max(start, 1), end + 1):
+            batch = source.fetch(seq)
+            store.merge(batch, sequence=seq)
+            if comments_store is not None:
+                # A11: replace child rows for replicated parents
+                c = source.comments_for(seq)
+                comments_store.delete_keys(
+                    c.select(F.col("comment_changeset_id").alias(comments_store.key)),
+                    sequence=seq,
+                )
+                comments_store.append(c, sequence=seq)
+            applied += 1
+            if not bounded:
+                # checkpoint: advance watermark transactionally per batch
+                state = store.read_state()
+                state["last_sequence"] = seq
+                state["last_timestamp"] = str(
+                    batch.agg(F.max("created_at")).collect()[0][0]
+                )
+                store.write_state(state)
+            if fail_after is not None and applied >= fail_after:
+                raise RuntimeError("injected failure (resume test)")
+    finally:
+        store.release()
+    return {"applied": applied, "from": start, "to": end}

@@ -1,0 +1,258 @@
+"""SnapStore — a snapshot-logged parquet table.
+
+The engine targets Iceberg per BASELINE.json, but this environment has
+no Iceberg runtime jar (decision recorded per SURVEY.md §7 hard-part
+4). SnapStore emulates the Iceberg semantics the reference's
+mutation/replication surface needs, over plain parquet + a JSON
+snapshot log, behind an API shaped so the physical layer swaps to
+Iceberg calls (``writeTo().append()``, ``MERGE INTO``,
+``start-snapshot-id`` reads) on a real cluster:
+
+- **append** (reference A9, bulk insert changesetmd.py:160-188)
+- **merge upsert by key** (A10, ``INSERT ... ON CONFLICT DO UPDATE``
+  changesetmd.py:164-182) — merge-on-read: each snapshot appends delta
+  files; readers resolve latest-row-per-key. ``compact()`` is the
+  ``rewrite_data_files`` analog that re-materializes current state.
+- **delete by key** (A11, delete-then-reinsert comments
+  changesetmd.py:198-201) — tombstones.
+- **time travel / incremental reads** (A13/A14 bounded replay):
+  ``read(as_of=...)``, ``incremental(start, end)``.
+- **state row** (osm_changeset_state, queries.py:28-35): watermark +
+  ``update_in_progress`` mutex with crash-safe release.
+- **lineage + metrics** (A15 + north_rule): every snapshot records
+  parent id, operation, row/file counts, wall ms, and per-partition
+  row counts → queryable as DataFrames.
+
+Concurrency: single-writer per table (the reference's LOCK TABLE ...
+NOWAIT, changesetmd.py:309-313) via the mutex in state; Iceberg's
+optimistic retry replaces this on a real cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+LOG = "snapshots.json"
+STATE = "state.json"
+
+OP_APPEND = "append"
+OP_MERGE = "merge"
+OP_DELETE = "delete"
+OP_COMPACT = "compact"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Raised when the update_in_progress mutex is already held
+    (reference: LOCK ... NOWAIT failure path changesetmd.py:309-313)."""
+
+
+class SnapStore:
+    def __init__(self, spark: SparkSession, root: str, key: str):
+        self.spark = spark
+        self.root = root
+        self.key = key
+        os.makedirs(root, exist_ok=True)
+
+    # -- snapshot log -------------------------------------------------
+
+    def _log_path(self) -> str:
+        return os.path.join(self.root, LOG)
+
+    def snapshots(self) -> list[dict]:
+        if not os.path.exists(self._log_path()):
+            return []
+        with open(self._log_path()) as f:
+            return json.load(f)
+
+    def current_snapshot_id(self) -> int:
+        snaps = self.snapshots()
+        return snaps[-1]["id"] if snaps else -1
+
+    def _commit(self, entry: dict) -> int:
+        """Append to the log atomically (write-temp + rename — the
+        single-writer commit; Iceberg's atomic swap analog)."""
+        snaps = self.snapshots()
+        entry["id"] = len(snaps)
+        entry["parent"] = snaps[-1]["id"] if snaps else None
+        snaps.append(entry)
+        tmp = self._log_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(snaps, f, indent=1)
+        os.replace(tmp, self._log_path())
+        return entry["id"]
+
+    # -- writes -------------------------------------------------------
+
+    def _write_delta(self, df: DataFrame, op: str, meta: dict | None = None) -> int:
+        t0 = time.time()
+        snap_id = len(self.snapshots())
+        path = os.path.join(self.root, "data", f"snap-{snap_id:06d}")
+        df.write.mode("errorifexists").parquet(path)
+        wall_ms = int((time.time() - t0) * 1000)
+        written = self.spark.read.parquet(path)
+        part_rows = [
+            {"partition_id": r["p"], "rows": r["count"]}
+            for r in written.groupBy(F.spark_partition_id().alias("p")).count().collect()
+        ]
+        rows = sum(p["rows"] for p in part_rows)
+        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        self._commit(
+            {
+                "op": op,
+                "path": path,
+                "rows": rows,
+                "n_files": len(files),
+                "wall_ms": wall_ms,
+                "rows_per_s": round(rows / max(wall_ms, 1) * 1000, 2),
+                "partitions": part_rows,
+                **(meta or {}),
+            }
+        )
+        return snap_id
+
+    def create(self, df: DataFrame, **meta) -> int:
+        assert not self.snapshots(), "table already exists"
+        return self._write_delta(df.withColumn("_deleted", F.lit(False)), OP_APPEND, meta)
+
+    def append(self, df: DataFrame, **meta) -> int:
+        """A9: bulk append (no key resolution — duplicates allowed,
+        exactly like INSERT)."""
+        return self._write_delta(df.withColumn("_deleted", F.lit(False)), OP_APPEND, meta)
+
+    def merge(self, updates: DataFrame, **meta) -> int:
+        """A10: upsert by key — MERGE INTO ... WHEN MATCHED UPDATE SET *
+        WHEN NOT MATCHED INSERT *. Merge-on-read: later snapshots win."""
+        return self._write_delta(updates.withColumn("_deleted", F.lit(False)), OP_MERGE, meta)
+
+    def delete_keys(self, keys: DataFrame, **meta) -> int:
+        """A11: delete by key (tombstone rows)."""
+        cur = self.read()
+        doomed = cur.join(keys.select(self.key).distinct(), self.key, "left_semi")
+        return self._write_delta(doomed.withColumn("_deleted", F.lit(True)), OP_DELETE, meta)
+
+    def compact(self, **meta) -> int:
+        """rewrite_data_files analog: materialize current state as one
+        snapshot; readers of later snapshots only scan from here."""
+        cur = self.read().withColumn("_deleted", F.lit(False))
+        return self._write_delta(cur, OP_COMPACT, meta)
+
+    # -- reads --------------------------------------------------------
+
+    def _deltas(self, upto: int | None = None, since: int | None = None) -> list[dict]:
+        snaps = self.snapshots()
+        if upto is not None:
+            snaps = [s for s in snaps if s["id"] <= upto]
+        # reads start from the newest compact snapshot (log-structured)
+        base = 0
+        for s in snaps:
+            if s["op"] == OP_COMPACT:
+                base = s["id"]
+        snaps = [s for s in snaps if s["id"] >= base]
+        if since is not None:
+            snaps = [s for s in snaps if s["id"] > since]
+        return snaps
+
+    def read(self, as_of: int | None = None) -> DataFrame:
+        """Current (or time-travel) state: latest row per key wins;
+        tombstones drop rows. Appends never overwrite (multi-set)."""
+        snaps = self._deltas(upto=as_of)
+        if not snaps:
+            raise ValueError("empty table")
+        dfs = []
+        for s in snaps:
+            d = self.spark.read.parquet(s["path"]).withColumn("_snap", F.lit(s["id"]))
+            dfs.append(d if s["op"] != OP_APPEND and s["op"] != OP_COMPACT else d)
+        all_rows = dfs[0]
+        for d in dfs[1:]:
+            all_rows = all_rows.unionByName(d)
+        # resolution: for keys touched by merge/delete, latest snapshot
+        # wins; plain appended rows for untouched keys pass through.
+        keyed_ops = {s["id"] for s in snaps if s["op"] in (OP_MERGE, OP_DELETE)}
+        if not keyed_ops:
+            return all_rows.filter(~F.col("_deleted")).drop("_deleted", "_snap")
+        w = Window.partitionBy(self.key).orderBy(F.desc("_snap"))
+        resolved = (
+            all_rows.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        return resolved.filter(~F.col("_deleted")).drop("_deleted", "_snap")
+
+    def incremental(self, start_exclusive: int, end_inclusive: int | None = None) -> DataFrame:
+        """A13/A14: rows written in (start, end] — Iceberg
+        start-snapshot-id/end-snapshot-id incremental read."""
+        snaps = [
+            s
+            for s in self.snapshots()
+            if s["id"] > start_exclusive
+            and (end_inclusive is None or s["id"] <= end_inclusive)
+            and s["op"] != OP_COMPACT
+        ]
+        if not snaps:
+            return None
+        dfs = [
+            self.spark.read.parquet(s["path"]).withColumn("_snap", F.lit(s["id"]))
+            for s in snaps
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    # -- lineage / metrics tables (A15 + north_rule) -------------------
+
+    def lineage(self) -> DataFrame:
+        rows = [
+            (s["id"], s["parent"], s["op"], s["rows"], s["n_files"], s["wall_ms"], s["rows_per_s"])
+            for s in self.snapshots()
+        ]
+        return self.spark.createDataFrame(
+            rows, "snapshot_id long, parent long, op string, rows long, n_files int, wall_ms long, rows_per_s double"
+        )
+
+    def metrics(self) -> DataFrame:
+        rows = [
+            (s["id"], p["partition_id"], p["rows"])
+            for s in self.snapshots()
+            for p in s["partitions"]
+        ]
+        return self.spark.createDataFrame(
+            rows, "snapshot_id long, partition_id int, rows long"
+        )
+
+    # -- state / watermark (queries.py:28-35) ---------------------------
+
+    def _state_path(self) -> str:
+        return os.path.join(self.root, STATE)
+
+    def read_state(self) -> dict:
+        if not os.path.exists(self._state_path()):
+            return {"last_sequence": -1, "last_timestamp": None, "update_in_progress": 0}
+        with open(self._state_path()) as f:
+            return json.load(f)
+
+    def write_state(self, state: dict) -> None:
+        tmp = self._state_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self._state_path())
+
+    def acquire(self) -> dict:
+        """Set the update_in_progress mutex (LOCK ... NOWAIT analog)."""
+        st = self.read_state()
+        if st["update_in_progress"]:
+            raise ConcurrentWriteError("update already in progress")
+        st["update_in_progress"] = 1
+        self.write_state(st)
+        return st
+
+    def release(self) -> None:
+        st = self.read_state()
+        st["update_in_progress"] = 0
+        self.write_state(st)

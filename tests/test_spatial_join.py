@@ -130,3 +130,19 @@ def test_broadcast_join_plan_is_shuffle_free_on_points(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_compact_build_matches_default(spark):
+    points, ppdf = _points_df(spark, n=1500, seed=61)
+    boxes, bpdf = _boxes_df(spark, n=120, seed=62)
+    want = {
+        (r.point_id, r.box_id)
+        for r in sj.contains_join(points, boxes, res=3, broadcast_boxes=True)
+        .select("point_id", "box_id").collect()
+    }
+    got = {
+        (r.point_id, r.box_id)
+        for r in sj.contains_join(points, boxes, res=3, broadcast_boxes=True, compact_build=True)
+        .select("point_id", "box_id").collect()
+    }
+    assert got == want
