@@ -232,8 +232,11 @@ def q_lat_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN join (exact broadcast variant — the oracle-checkable one;
-    the ring-accelerated variant is property-tested in pytest)."""
+    """kNN join — the ring-accelerated scale path (grid_disk cell
+    expansion + window top-k), gated against a GLOBAL brute-force kNN
+    oracle: res=2/rings=4 guarantees a 413 km candidate radius, beyond
+    the measured max 5th-NN distance at every tested sf (exactness
+    also asserted vs knn_join_exact in tests/test_knn.py)."""
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
     points = points_from_orders(orders)
@@ -242,7 +245,9 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("min_lat") + F.col("max_lat")) / F.lit(2.0)).alias("q_lat"),
         ((F.col("min_lon") + F.col("max_lon")) / F.lit(2.0)).alias("q_lon"),
     )
-    out = knn_ops.knn_join_exact(queries, points, k=5)
+    out = knn_ops.knn_join_rings(
+        queries, points, k=5, res=2, rings=4, broadcast_queries=True
+    )
     return out.select(
         "query_id",
         "point_id",
@@ -437,6 +442,25 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return u("click").intersect(u("purchase")).exceptAll(u("error"))
+
+
+def q_hex_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiling gate: assign every point its hex cell at two resolutions
+    and roll up counts — the DuckDB oracle re-implements the exact
+    cell math (axial coords, half-up rounding, cube-round fixups,
+    linear packing) in SQL, so cell assignment itself is cross-engine
+    verified, not just join results built on it."""
+    from .functions import hexgrid
+
+    points = points_from_orders(load(spark, sf_dir, "orders"))
+    return (
+        points.select(
+            hexgrid.hex_cell(F.col("lat"), F.col("lon"), 2).alias("cell_r2"),
+            hexgrid.hex_cell(F.col("lat"), F.col("lon"), 4).alias("cell_r4"),
+        )
+        .groupBy("cell_r2", "cell_r4")
+        .agg(F.count("*").alias("n"))
+    )
 
 
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -702,4 +726,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup": q_rollup,
     "set_ops": q_set_ops,
     "merge_upsert": q_merge_upsert,
+    "hex_rollup": q_hex_rollup,
 }
+
+from .functions.hexgrid import HEX_CELL_SQL as _HEX_SQL  # noqa: E402
+
+ORACLES["hex_rollup"] = f"""
+    WITH p AS ({POINTS_SQL})
+    SELECT {_HEX_SQL("p.lat", "p.lon", 2)} AS cell_r2,
+           {_HEX_SQL("p.lat", "p.lon", 4)} AS cell_r4,
+           count(*) AS n
+    FROM p GROUP BY 1, 2
+"""

@@ -183,6 +183,33 @@ def cell_center(cell: Column, res: int) -> tuple[Column, Column]:
     return lat, lon
 
 
+def HEX_CELL_SQL(lat: str, lon: str, res: int) -> str:
+    """ANSI-SQL twin of ``hex_cell`` (DuckDB-compatible), used by the
+    correctness gate to check the tiling math itself cross-engine.
+    Mirrors the exact double arithmetic: same literals, same half-up
+    rounding (floor(x+0.5)/ceil(x-0.5) — Spark's F.round semantics),
+    same cube-round fixups, same linear packing."""
+    s = repr(size_deg(res))
+    lat_c = f"greatest(-90.0, least(90.0, {lat}))"
+    q = f"(({_SQRT3_3!r} * {lon} - {lat_c} / 3.0) / {s})"
+    r = f"((0.6666666666666666 * {lat_c}) / {s})"
+    y = f"(-{q} - {r})"
+    hu = lambda x: f"(CASE WHEN {x} >= 0 THEN floor({x} + 0.5) ELSE ceil({x} - 0.5) END)"  # noqa: E731
+    rq, rr, ry = hu(q), hu(r), hu(y)
+    dq = f"abs({rq} - {q})"
+    dr = f"abs({rr} - {r})"
+    dy = f"abs({ry} - {y})"
+    fix_q = f"({dq} > {dr} AND {dq} > {dy})"
+    fix_r = f"(NOT {fix_q} AND {dr} > {dy})"
+    q_out = f"CAST((CASE WHEN {fix_q} THEN -{ry} - {rr} ELSE {rq} END) AS BIGINT)"
+    r_out = f"CAST((CASE WHEN {fix_r} THEN -{rq} - {ry} ELSE {rr} END) AS BIGINT)"
+    return (
+        f"(CAST({res} AS BIGINT) * {_RES_SHIFT} "
+        f"+ ({q_out} + {_Q_OFF}) * CAST({_Q_SHIFT} AS BIGINT) "
+        f"+ ({r_out} + {_Q_OFF}))"
+    )
+
+
 # ---------------------------------------------------------------------------
 # numpy twins — used by tests (independent re-derivation) and by any
 # Arrow-UDF path that wants cells without a shuffle-side expression.

@@ -74,8 +74,12 @@ def images(spark: SparkSession, n: int, width: int = 16, height: int = 16) -> Da
         spark.range(n)
         .withColumn("image_id", F.format_string("img%012d", F.col("id")))
         # hi/lo mixes: multiplicative hashing mod 2^31/2^32, ANSI-safe
+        # multipliers must wrap their modulus within a few ids, or
+        # small-n tables cluster at one longitude (104729 was too
+        # small: lon degenerate below ~20k rows); both stay ANSI-safe
+        # for id up to ~1e10
         .withColumn("ph_hi", F.pmod(F.col("id") * F.lit(2654435761) + F.lit(0x9E3779B9), F.lit(4294967296)))
-        .withColumn("ph_lo", F.pmod(F.col("id") * F.lit(104729) + F.lit(42), F.lit(2147483648)))
+        .withColumn("ph_lo", F.pmod(F.col("id") * F.lit(777767777) + F.lit(42), F.lit(2147483648)))
         .withColumn("phash", F.col("ph_hi") * F.lit(2147483648) + F.col("ph_lo"))
         .withColumn("w", F.lit(width).cast("int"))
         .withColumn("h", F.lit(height).cast("int"))
