@@ -232,11 +232,12 @@ def q_lat_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN join — the ring-accelerated scale path (grid_disk cell
-    expansion + window top-k), gated against a GLOBAL brute-force kNN
-    oracle: res=2/rings=4 guarantees a 413 km candidate radius, beyond
-    the measured max 5th-NN distance at every tested sf (exactness
-    also asserted vs knn_join_exact in tests/test_knn.py)."""
+    """kNN join — ring-accelerated with certified-exact fallback
+    (knn_join_safe): queries whose k-th ring candidate lies within the
+    ring guarantee keep the cheap answer; the rest (only at very
+    sparse densities, e.g. sf0.001) re-run exactly. Gated against a
+    GLOBAL brute-force kNN oracle — exact at every sf by
+    construction."""
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
     points = points_from_orders(orders)
@@ -245,9 +246,7 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("min_lat") + F.col("max_lat")) / F.lit(2.0)).alias("q_lat"),
         ((F.col("min_lon") + F.col("max_lon")) / F.lit(2.0)).alias("q_lon"),
     )
-    out = knn_ops.knn_join_rings(
-        queries, points, k=5, res=2, rings=4, broadcast_queries=True
-    )
+    out = knn_ops.knn_join_safe(queries, points, k=5, res=2, rings=4)
     return out.select(
         "query_id",
         "point_id",

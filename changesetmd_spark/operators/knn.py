@@ -99,6 +99,54 @@ def knn_join_rings(
     return _topk(pairs, q_id, p_id, k).drop("hex_cell")
 
 
+def knn_join_safe(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int,
+    *,
+    res: int = 2,
+    rings: int = 4,
+    q_id: str = "query_id",
+    q_lat: str = "q_lat",
+    q_lon: str = "q_lon",
+    p_id: str = "point_id",
+    p_lat: str = "lat",
+    p_lon: str = "lon",
+) -> DataFrame:
+    """EXACT kNN at any density: ring-accelerated candidates, then an
+    exact fallback for precisely the queries the rings cannot certify.
+
+    A query's ring result is provably global iff it found ≥ k
+    candidates AND its k-th distance ≤ the ring guarantee radius
+    (every point within that radius is guaranteed to share the disk).
+    Certified queries keep their (cheap) ring answer; the remainder —
+    typically none at production density — re-run via broadcast cross
+    join. Output identical to ``knn_join_exact`` by construction."""
+    guarantee = min_ring_guarantee_km(res, rings)
+    ringed = knn_join_rings(
+        queries, points, k, res=res, rings=rings,
+        q_id=q_id, q_lat=q_lat, q_lon=q_lon, p_id=p_id, p_lat=p_lat, p_lon=p_lon,
+        broadcast_queries=True,
+    )
+    per_q = ringed.groupBy(q_id).agg(
+        F.count("*").alias("_n"), F.max("dist_km").alias("_dk")
+    )
+    unsafe_ids = per_q.filter(
+        (F.col("_n") < k) | (F.col("_dk") > guarantee)
+    ).select(q_id)
+    # queries with ZERO candidates never reach per_q — catch via anti join
+    no_cand = queries.join(ringed.select(q_id).distinct(), q_id, "left_anti").select(q_id)
+    unsafe_ids = unsafe_ids.unionByName(no_cand).distinct()
+
+    safe_part = ringed.join(F.broadcast(unsafe_ids), q_id, "left_anti")
+    unsafe_queries = queries.join(F.broadcast(unsafe_ids), q_id, "left_semi")
+    exact_part = knn_join_exact(
+        unsafe_queries, points, k,
+        q_id=q_id, q_lat=q_lat, q_lon=q_lon, p_id=p_id, p_lat=p_lat, p_lon=p_lon,
+    )
+    return safe_part.unionByName(exact_part.select(*safe_part.columns))
+
+
 def min_ring_guarantee_km(res: int, rings: int) -> float:
     """Lower bound on the radius (km, at the equator in the worst
     latitude-direction) inside which ``knn_join_rings`` provably sees

@@ -59,6 +59,11 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # managed-table warehouse for bucketed tables (plans/bucketing)
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/changesetmd-warehouse"),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -96,3 +96,35 @@ def test_overlay_matches_bruteforce(spark):
         for b in B.box_id[hit.to_numpy()]:
             want.add((int(a.box_id), int(b)))
     assert got == want and len(want) > 20
+
+
+def test_safe_knn_exact_at_sparse_density(spark):
+    """knn_join_safe must equal exact even when rings alone fail
+    (sparse points, distant queries — the sf0.001 regression)."""
+    rng = np.random.default_rng(13)
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "point_id": np.arange(120),  # very sparse globally
+                "lat": rng.uniform(-80, 80, 120),
+                "lon": rng.uniform(-175, 175, 120),
+            }
+        )
+    )
+    qs = _queries(spark, n=15, seed=14)
+    exact = {
+        (r.query_id, r.point_id, r.knn_rank)
+        for r in K.knn_join_exact(qs, pts, 5).select("query_id", "point_id", "knn_rank").collect()
+    }
+    rings_only = {
+        (r.query_id, r.point_id, r.knn_rank)
+        for r in K.knn_join_rings(qs, pts, 5, res=2, rings=4, broadcast_queries=True)
+        .select("query_id", "point_id", "knn_rank").collect()
+    }
+    safe = {
+        (r.query_id, r.point_id, r.knn_rank)
+        for r in K.knn_join_safe(qs, pts, 5, res=2, rings=4)
+        .select("query_id", "point_id", "knn_rank").collect()
+    }
+    assert rings_only != exact  # rings alone genuinely insufficient here
+    assert safe == exact        # fallback certifies and repairs

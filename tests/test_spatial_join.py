@@ -146,3 +146,30 @@ def test_compact_build_matches_default(spark):
         .select("point_id", "box_id").collect()
     }
     assert got == want
+
+
+def test_skewed_hot_cell_salted_parity(spark):
+    """Hot-cell skew (city effect): 40% of points in one 0.5-degree
+    spot. The salted shuffle path must agree with broadcast exactly."""
+    rng = np.random.default_rng(77)
+    n = 4000
+    hot = rng.random(n) < 0.4
+    lat = np.where(hot, 48.85 + rng.uniform(-0.25, 0.25, n), rng.uniform(-80, 80, n))
+    lon = np.where(hot, 2.35 + rng.uniform(-0.25, 0.25, n), rng.uniform(-170, 170, n))
+    points = spark.createDataFrame(
+        pd.DataFrame({"point_id": np.arange(n), "lat": lat, "lon": lon})
+    )
+    boxes, _ = _boxes_df(spark, n=100, seed=78)
+    ref = {
+        (r.point_id, r.box_id)
+        for r in sj.contains_join(points, boxes, res=3, broadcast_boxes=True)
+        .select("point_id", "box_id").collect()
+    }
+    salted = {
+        (r.point_id, r.box_id)
+        for r in sj.contains_join(
+            points, boxes, res=3, broadcast_boxes=False,
+            salt_buckets=8, point_salt_key="point_id",
+        ).select("point_id", "box_id").collect()
+    }
+    assert salted == ref and len(ref) > 50
