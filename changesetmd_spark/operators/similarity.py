@@ -20,8 +20,11 @@ the bucket id, same shape as the spatial cell join.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 QUANT = 1_000_000  # element quantization
 # multi-table hyperplane LSH (OR-amplification): TABLES independent
@@ -169,27 +172,40 @@ def plane_sign(plane: int, dim_idx: int) -> int:
     return 1 if h[0] % 2 == 0 else -1
 
 
-def _plane_bit(vec_q: Column, p: int) -> Column:
-    signs = F.array(*[F.lit(plane_sign(p, d)) for d in range(DIM)])
-    proj = F.aggregate(
-        F.zip_with(vec_q, signs, lambda x, s: x * s),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+def _planes_matrix() -> np.ndarray:
+    return np.array(
+        [[plane_sign(p, d) for d in range(DIM)] for p in range(N_PLANES)],
+        dtype=np.int64,
+    )  # (N_PLANES, DIM)
 
 
 def lsh_table_keys(vec_q: Column) -> Column:
     """array<long> of LSH_TABLES keys: key_t = t·2^BITS + bits_t where
     bits_t packs the table's BITS sign-bits. Sharing ANY key makes a
-    candidate pair (OR-amplification)."""
-    keys = []
-    for t in range(LSH_TABLES):
-        bits = F.lit(0).cast("long")
-        for i in range(LSH_BITS):
-            bits = bits + _plane_bit(vec_q, t * LSH_BITS + i) * F.lit(1 << i).cast("long")
-        keys.append(F.lit(t << (LSH_BITS + 1)).cast("long") + bits)
-    return F.array(*keys)
+    candidate pair (OR-amplification).
+
+    Computed in ONE Arrow pandas UDF as an exact int64 matrix multiply
+    (n, DIM) @ (DIM, N_PLANES) — the 48 per-plane expression folds this
+    replaces were ~10× slower at bench scale; bucket values are
+    bit-identical (integer arithmetic), so the SQL oracle
+    (LSH_TABLE_KEYS_SQL) still matches exactly."""
+    @F.pandas_udf(ArrayType(LongType()))
+    def _keys(vecs: pd.Series) -> pd.Series:
+        planes = _planes_matrix().T  # (DIM, N_PLANES)
+        m = np.stack(vecs.to_numpy())  # (n, DIM) int64 quantized
+        proj = m @ planes  # exact int64
+        bits = (proj >= 0).astype(np.int64)  # (n, N_PLANES)
+        weights = np.array([1 << (i % LSH_BITS) for i in range(N_PLANES)], dtype=np.int64)
+        weighted = bits * weights
+        keys = np.zeros((m.shape[0], LSH_TABLES), dtype=np.int64)
+        for t in range(LSH_TABLES):
+            keys[:, t] = (
+                weighted[:, t * LSH_BITS:(t + 1) * LSH_BITS].sum(axis=1)
+                + (t << (LSH_BITS + 1))
+            )
+        return pd.Series(list(keys))
+
+    return _keys(vec_q)
 
 
 def _PLANE_BIT_SQL(vec_q: str, p: int) -> str:
