@@ -443,6 +443,47 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u("click").intersect(u("purchase")).exceptAll(u("error"))
 
 
+POLY_DX = [1.0, 0.5, -0.5, -1.0, -0.5, 0.5]
+POLY_DY = [0.0, 0.9, 0.9, 0.0, -0.9, -0.9]
+
+
+def polygons_from_customer(customer: DataFrame) -> DataFrame:
+    """Convex CCW hexagonal polygons centered on the customer geotag,
+    radius from key arithmetic — vertex coords exact in both engines."""
+    k = F.col("c_custkey")
+    cx = F.pmod(k * 541, F.lit(3500)) / F.lit(10.0) - F.lit(175.0)
+    cy = F.pmod(k * 911, F.lit(1700)) / F.lit(10.0) - F.lit(85.0)
+    r = F.pmod(k, F.lit(30)) / F.lit(10.0) + F.lit(0.2)
+    return customer.filter(F.pmod(k, 5) == 0).select(
+        k.alias("poly_id"),
+        F.array(*[cx + r * F.lit(dx) for dx in POLY_DX]).alias("xs"),
+        F.array(*[cy + r * F.lit(dy) for dy in POLY_DY]).alias("ys"),
+    )
+
+
+POLYGONS_SQL = f"""
+SELECT c_custkey AS poly_id,
+       [{", ".join(f"((c_custkey * 541 % 3500) / 10.0 - 175.0) + ((c_custkey % 30) / 10.0 + 0.2) * {dx}" for dx in POLY_DX)}] AS xs,
+       [{", ".join(f"((c_custkey * 911 % 1700) / 10.0 - 85.0) + ((c_custkey % 30) / 10.0 + 0.2) * {dy}" for dy in POLY_DY)}] AS ys
+FROM customer WHERE c_custkey % 5 = 0
+"""
+
+
+def q_polygon_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE point-in-polygon join (convex hexagonal query polygons,
+    half-plane refine inside the cell join) — the generalization of
+    B4 beyond envelopes. Oracle: identical cross-product predicate in
+    SQL over the same derived polygons."""
+    from .operators import polygon_join as pj
+
+    points = points_from_orders(load(spark, sf_dir, "orders"))
+    polys = polygons_from_customer(load(spark, sf_dir, "customer"))
+    pairs = pj.polygon_contains_join(
+        points, polys, n_vertices=6, res=3, broadcast_polygons=True
+    )
+    return pairs.groupBy("poly_id").agg(F.count("*").alias("n_points"))
+
+
 def q_hex_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tiling gate: assign every point its hex cell at two resolutions
     and roll up counts — the DuckDB oracle re-implements the exact
@@ -726,9 +767,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops": q_set_ops,
     "merge_upsert": q_merge_upsert,
     "hex_rollup": q_hex_rollup,
+    "polygon_contains": q_polygon_contains,
 }
 
 from .functions.hexgrid import HEX_CELL_SQL as _HEX_SQL  # noqa: E402
+from .operators.polygon_join import POINT_IN_CONVEX_POLYGON_SQL as _PIP_SQL  # noqa: E402
 
 ORACLES["hex_rollup"] = f"""
     WITH p AS ({POINTS_SQL})
@@ -736,4 +779,11 @@ ORACLES["hex_rollup"] = f"""
            {_HEX_SQL("p.lat", "p.lon", 4)} AS cell_r4,
            count(*) AS n
     FROM p GROUP BY 1, 2
+"""
+
+ORACLES["polygon_contains"] = f"""
+    WITH p AS ({POINTS_SQL}), g AS ({POLYGONS_SQL})
+    SELECT g.poly_id AS poly_id, count(*) AS n_points
+    FROM p JOIN g ON {_PIP_SQL("p.lon", "p.lat", "g.xs", "g.ys", 6)}
+    GROUP BY g.poly_id
 """

@@ -128,3 +128,51 @@ def test_safe_knn_exact_at_sparse_density(spark):
     }
     assert rings_only != exact  # rings alone genuinely insufficient here
     assert safe == exact        # fallback certifies and repairs
+
+
+def test_polygon_contains_matches_numpy_oracle(spark):
+    """Convex point-in-polygon join vs a numpy half-plane oracle."""
+    from changesetmd_spark.operators import polygon_join as pj
+
+    rng = np.random.default_rng(21)
+    npts, npoly = 3000, 40
+    pts_pdf = pd.DataFrame(
+        {
+            "point_id": np.arange(npts),
+            "lat": rng.uniform(-80, 80, npts),
+            "lon": rng.uniform(-170, 170, npts),
+        }
+    )
+    dx = np.array([1.0, 0.5, -0.5, -1.0, -0.5, 0.5])
+    dy = np.array([0.0, 0.9, 0.9, 0.0, -0.9, -0.9])
+    cx = rng.uniform(-150, 150, npoly)
+    cy = rng.uniform(-70, 70, npoly)
+    r = rng.uniform(1, 15, npoly)
+    polys_pdf = pd.DataFrame(
+        {
+            "poly_id": np.arange(npoly),
+            "xs": [(cx[i] + r[i] * dx).tolist() for i in range(npoly)],
+            "ys": [(cy[i] + r[i] * dy).tolist() for i in range(npoly)],
+        }
+    )
+    got = {
+        (rw.point_id, rw.poly_id)
+        for rw in pj.polygon_contains_join(
+            spark.createDataFrame(pts_pdf),
+            spark.createDataFrame(polys_pdf),
+            n_vertices=6, res=2, broadcast_polygons=True,
+        ).select("point_id", "poly_id").collect()
+    }
+    want = set()
+    for i in range(npoly):
+        xs, ys = np.array(polys_pdf["xs"][i]), np.array(polys_pdf["ys"][i])
+        inside = np.ones(npts, dtype=bool)
+        for e in range(6):
+            j = (e + 1) % 6
+            cross = (xs[j] - xs[e]) * (pts_pdf.lat - ys[e]) - (ys[j] - ys[e]) * (
+                pts_pdf.lon - xs[e]
+            )
+            inside &= (cross >= 0).to_numpy()
+        for pid in pts_pdf.point_id[inside]:
+            want.add((int(pid), i))
+    assert got == want and len(want) > 50
