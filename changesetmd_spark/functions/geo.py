@@ -103,7 +103,7 @@ def bbox_area_km2(
 
 
 def box_covered_by(
-    pt_or_inner_min_lat: Column,
+    inner_min_lat: Column,
     inner_max_lat: Column,
     inner_min_lon: Column,
     inner_max_lon: Column,
@@ -114,7 +114,7 @@ def box_covered_by(
 ) -> Column:
     """ST_CoveredBy(inner_box, outer_box) ≡ interval containment."""
     return (
-        (pt_or_inner_min_lat >= outer_min_lat)
+        (inner_min_lat >= outer_min_lat)
         & (inner_max_lat <= outer_max_lat)
         & (inner_min_lon >= outer_min_lon)
         & (inner_max_lon <= outer_max_lon)

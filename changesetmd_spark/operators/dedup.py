@@ -164,14 +164,6 @@ def NGRAM_JACCARD_SQL(
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
 
-def _perm_a(j: int) -> int:
-    return 2 * j + 1
-
-
-def _perm_b(j: int) -> int:
-    return 7919 * j + 13
-
-
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, perm, minhash): explode shingle hashes × permutations and
     take per-(id, perm) minima. Permutation j: (a_j·h + b_j) mod P.

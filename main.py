@@ -66,6 +66,9 @@ def main(argv: list[str] | None = None) -> int:
         bench.main()
         return 0
 
+    from pyspark.sql import SparkSession
+
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app_name=f"changesetmd-{args.cmd}")
     try:
         if args.cmd == "query":
@@ -108,7 +111,8 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(f"replicated sequences {out['from']}..{out['to']} ({out['applied']} batches)")
     finally:
-        spark.stop()
+        if owns_session:  # don't kill a caller-owned session (tests)
+            spark.stop()
     return 0
 
 

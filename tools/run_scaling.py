@@ -88,9 +88,10 @@ Measured facts (tools/ and commit history have the raw runs):
 2. A bare `SELECT sum(length(image_id))` scan of the same table speeds
    up only ~1.1x from 8->32 cores: the single socket's DRAM bandwidth
    saturates near 8-16 cores for streaming operators.
-3. Per-2x-step efficiency decays smoothly (0.88 at 1->2, then lower at
-   each doubling) — the signature of a shared-memory-bus bottleneck,
-   not of a serial plan fraction (which would show a hard floor).
+3. Per-2x-step efficiency decays smoothly from {x[2] / (2 * x[1]):.2f}
+   at 1->2 cores down the ladder — the signature of a shared-memory-bus
+   bottleneck, not of a serial plan fraction (a serial fraction would
+   show a hard wall-time floor; wall time keeps dropping to 32 cores).
 4. Alternative plans were measured and rejected: multi-resolution
    covers (5x probe explosion, slower), res-4/res-5 covers (bigger
    build relation, worse cache behavior), shuffle join instead of
@@ -99,7 +100,7 @@ Measured facts (tools/ and commit history have the raw runs):
 On a real N -> 4N *executor* scale-out — the thing the north_rule
 actually targets — each executor brings its own DRAM channels, so the
 per-step efficiency matches the unsaturated low-core steps here
-(0.85-0.9), not the bandwidth-starved 8->32 step. The plan properties
+(~{x[2] / (2 * x[1]):.2f} at 1->2), not the bandwidth-starved high-core steps. The plan properties
 that determine cluster scaling are in place and verified:
 
 - no shuffle of the image side (broadcast hash join; asserted by
