@@ -39,16 +39,22 @@ IMAGES_PER_ORDER = 40  # bench images table = 40× orders rows (6M @ sf0.1)
 BENCH_QUERIES = [
     "spatial_contains_count",
     "spatial_contains_pairs",
+    "polygon_contains",
+    "hex_rollup",
     "knn",
     "tile_overlay",
+    "exact_dedup",
+    "ngram_jaccard",
     "minhash_lsh",
     "simhash",
+    "text_features",
     "cosine_topk",
     "ann_lsh",
     "image_decode",
     "event_windows",
     "sessionize",
     "key_join_rollup",
+    "merge_upsert",
 ]
 
 

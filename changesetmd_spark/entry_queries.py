@@ -309,6 +309,14 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.ann_lsh_topk(queries, emb, k=10)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (inverted-file lists, deterministic centroids, nprobe
+    probing) — the second ANN index family beside hyperplane LSH."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return sim_ops.ann_ivf_topk(queries, emb, k=10)
+
+
 def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal roundtrip: synthesize FKIM image blobs from phash
     (Arrow mapInPandas encode), decode them back (mapInPandas decode),
@@ -370,7 +378,10 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 15-min window aggregation over the event stream."""
     ev = load(spark, sf_dir, "events")
-    win = (F.floor(F.unix_timestamp(F.col("ts")) / 900) * 900).alias("window_start")
+    # TZ-independent epoch from TIMESTAMP_NTZ (unix_timestamp would
+    # round-trip through the session TZ and break inside DST gaps)
+    epoch = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    win = (F.floor(epoch / 900) * 900).alias("window_start")
     val = F.col("value").cast("decimal(18,6)")
     return ev.groupBy(win, F.col("event_type")).agg(
         F.count("*").alias("n"),
@@ -386,7 +397,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.unix_timestamp(F.col("ts"))
+    epoch = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
     gap = epoch - F.lag(epoch).over(w)
     new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     sess = ev.withColumn("session_id", F.sum(new_sess).over(w))
@@ -645,6 +656,7 @@ ORACLES: dict[str, str] = {
     """,
     "cosine_topk": sim_ops.COSINE_TOPK_SQL(10, "vec_id < 20"),
     "ann_lsh": sim_ops.ANN_LSH_SQL(10, "vec_id < 20"),
+    "ann_ivf": sim_ops.ANN_IVF_SQL(10, "vec_id < 20"),
     "image_decode": """
         WITH ph AS (
             SELECT 'img' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS image_id,
@@ -759,6 +771,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_features": q_text_features,
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "image_decode": q_image_decode,
     "event_windows": q_event_windows,
     "sessionize": q_sessionize,

@@ -297,3 +297,126 @@ def ANN_LSH_SQL(
         SELECT query_id, neighbor_id, cos_sim_q, CAST(sim_rank AS BIGINT) AS sim_rank
         FROM ranked WHERE sim_rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+IVF_STEP = 17       # centroid picking stride (vec_id % STEP == 0)
+IVF_NPROBE = 4      # probe the nprobe nearest centroid lists
+
+
+def ivf_assignments(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Rank centroids per vector by quantized cosine (ties → smaller
+    centroid id); keep ranks ≤ nprobe. Input frames must be ``_prep``'d
+    with prefixes v_/c_. Returns (v_id, v_vec, v_n2, c_id, probe_rank)."""
+    pairs = vectors.crossJoin(F.broadcast(centroids))
+    sim = cos_q(dot_int(F.col("v_vec"), F.col("c_vec")), F.col("v_n2"), F.col("c_n2"))
+    w = Window.partitionBy("v_id").orderBy(F.desc("_csim"), F.asc("c_id"))
+    return (
+        pairs.withColumn("_csim", sim)
+        .withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("v_id", "v_vec", "v_n2", F.col("c_id").alias("ivf_cell"), "probe_rank")
+    )
+
+
+def ann_ivf_topk(
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    step: int = IVF_STEP,
+    nprobe: int = IVF_NPROBE,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF ANN: every vector lives in the list of its nearest centroid;
+    a query probes its ``nprobe`` nearest centroid lists and ranks the
+    candidates exactly. Centroids are picked deterministically
+    (vec_id % step == 0) — the training-free stand-in for k-means in
+    this sandbox; swap the centroid frame for trained centroids on a
+    real pipeline. All arithmetic is integer-quantized → the DuckDB
+    oracle replicates the algorithm exactly."""
+    cents = _prep(
+        vectors.filter(F.pmod(F.col(id_col), step) == 0), id_col, vec_col, "c_"
+    )
+    v = _prep(vectors, id_col, vec_col, "v_")
+    q = _prep(queries, id_col, vec_col, "v_")
+    lists = ivf_assignments(v, cents, nprobe=1).drop("probe_rank")
+    probes = ivf_assignments(q, cents, nprobe=nprobe).select(
+        F.col("v_id").alias("q_id"),
+        F.col("v_vec").alias("q_vec"),
+        F.col("v_n2").alias("q_n2"),
+        "ivf_cell",
+    )
+    cand = lists.join(F.broadcast(probes), "ivf_cell")
+    if exclude_self:
+        cand = cand.filter(F.col("q_id") != F.col("v_id"))
+    sim = cos_q(dot_int(F.col("q_vec"), F.col("v_vec")), F.col("q_n2"), F.col("v_n2"))
+    scored = cand.select(
+        F.col("q_id").alias("query_id"),
+        F.col("v_id").alias("neighbor_id"),
+        sim.alias("cos_sim_q"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sim_rank") <= k)
+    )
+
+
+def ANN_IVF_SQL(
+    k: int,
+    query_pred: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+    step: int = IVF_STEP,
+    nprobe: int = IVF_NPROBE,
+    exclude_self: bool = True,
+) -> str:
+    qv = QUANTIZED_SQL(vec_col)
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS vid, {qv} AS vec, {DOT_INT_SQL(qv, qv)} AS n2
+            FROM {table}
+        ),
+        cents AS (SELECT vid AS cid, vec AS cvec, n2 AS cn2 FROM base WHERE vid % {step} = 0),
+        ranked_assign AS (
+            SELECT b.vid, b.vec, b.n2, c.cid,
+                   row_number() OVER (
+                       PARTITION BY b.vid
+                       ORDER BY {COS_Q_SQL(DOT_INT_SQL("b.vec", "c.cvec"), "b.n2", "c.cn2")} DESC,
+                                c.cid ASC
+                   ) AS pr
+            FROM base b CROSS JOIN cents c
+        ),
+        lists  AS (SELECT vid, vec, n2, cid AS cell FROM ranked_assign WHERE pr = 1),
+        probes AS (
+            SELECT vid AS qid, vec AS qvec, n2 AS qn2, cid AS cell
+            FROM ranked_assign WHERE pr <= {nprobe} AND vid IN (SELECT {id_col} FROM {table} WHERE {query_pred})
+        ),
+        scored AS (
+            SELECT DISTINCT p.qid AS query_id, l.vid AS neighbor_id,
+                   {COS_Q_SQL(DOT_INT_SQL("p.qvec", "l.vec"), "p.qn2", "l.n2")} AS cos_sim_q
+            FROM probes p JOIN lists l ON p.cell = l.cell
+            {("AND p.qid != l.vid") if exclude_self else ""}
+        ),
+        topk AS (
+            SELECT query_id, neighbor_id, cos_sim_q,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY cos_sim_q DESC, neighbor_id ASC
+                   ) AS sim_rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cos_sim_q, CAST(sim_rank AS BIGINT) AS sim_rank
+        FROM topk WHERE sim_rank <= {k}
+    """
