@@ -420,3 +420,43 @@ def ANN_IVF_SQL(
         SELECT query_id, neighbor_id, cos_sim_q, CAST(sim_rank AS BIGINT) AS sim_rank
         FROM topk WHERE sim_rank <= {k}
     """
+
+
+def embed_neardup_pairs(
+    vectors: DataFrame,
+    threshold_q: int = 950_000,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (task brief dedup family):
+    LSH-table candidates (pairs sharing ≥1 table bucket — near-parallel
+    vectors almost surely do) + exact quantized-cosine refine ≥ τ.
+    Undirected, emitted once with vec_a < vec_b. At high τ (≥0.95) the
+    multi-table recall is ~1-(1-p^BITS)^TABLES ≈ 0.998; recall is
+    property-tested on planted duplicates."""
+    v = _prep(vectors, id_col, vec_col, "v_").withColumn(
+        "bucket", F.explode(lsh_table_keys(F.col("v_vec")))
+    )
+    a = v.select(
+        F.col("bucket"),
+        F.col("v_id").alias("vec_a"),
+        F.col("v_vec").alias("va"),
+        F.col("v_n2").alias("na"),
+    )
+    b = v.select(
+        F.col("bucket"),
+        F.col("v_id").alias("vec_b"),
+        F.col("v_vec").alias("vb"),
+        F.col("v_n2").alias("nb"),
+    )
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    sim = cos_q(dot_int(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
+    return (
+        cand.select("vec_a", "vec_b", sim.alias("cos_sim_q"))
+        .filter(F.col("cos_sim_q") >= threshold_q)
+    )

@@ -122,3 +122,19 @@ def test_ann_ivf_recall_and_planted_neighbor(spark, vectors):
     # structure); recall here is deterministic — pinned at the
     # measured value so regressions are visible
     assert hits >= 10
+
+
+def test_embed_neardup_finds_planted_pairs(spark):
+    rng = np.random.default_rng(99)
+    v = rng.normal(size=(300, 64)).astype(np.float32)
+    # plant three near-dup pairs
+    for a, b in [(0, 250), (10, 260), (20, 270)]:
+        v[b] = v[a] + rng.normal(scale=0.005, size=64).astype(np.float32)
+    vecs = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(300), "embedding": [r.tolist() for r in v]})
+    )
+    out = similarity.embed_neardup_pairs(vecs, threshold_q=950_000).toPandas()
+    got = {(a, b) for a, b in zip(out.vec_a, out.vec_b)}
+    assert {(0, 250), (10, 260), (20, 270)} <= got
+    # random non-dup vectors must NOT appear (max random cos ≪ 0.95)
+    assert len(got) == 3

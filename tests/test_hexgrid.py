@@ -87,3 +87,17 @@ def test_out_of_range_lat_clamps_not_errors(spark):
     got = df.select(hg.hex_cell(F.col("lat"), F.col("lon"), 7).alias("c")).collect()
     want = df.select(hg.hex_cell(F.lit(90.0), F.col("lon"), 7).alias("c")).collect()
     assert got[0].c == want[0].c
+
+
+def test_cell_to_parent_contains_child_center(spark):
+    """Re-encoding a fine cell's center at a coarser res gives the
+    coarse cell of that center (hierarchy consistency)."""
+    lat, lon = _rand_points(300, seed=9)
+    df = spark.createDataFrame(list(zip(lat.tolist(), lon.tolist())), "lat double, lon double")
+    fine = df.select(
+        hg.hex_cell(F.col("lat"), F.col("lon"), 7).alias("cell"),
+    )
+    got = fine.select(hg.cell_to_parent(F.col("cell"), 7, 3).alias("p")).collect()
+    clat, clon = hg.cell_center(F.col("cell"), 7)
+    want = fine.select(hg.hex_cell(clat, clon, 3).alias("p")).collect()
+    assert [r.p for r in got] == [r.p for r in want]
