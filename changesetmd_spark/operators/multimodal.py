@@ -144,3 +144,44 @@ def psnr_db(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return 999.0
     return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("bytes", BinaryType(), False),
+        StructField("w", IntegerType(), False),
+        StructField("h", IntegerType(), False),
+    ]
+)
+
+
+def frame_sample(videos: DataFrame, every_nth: int = 2) -> DataFrame:
+    """Frame sampling for video-shaped payloads (task brief): a 'video'
+    here is a fake-codec blob whose pixel payload stacks F frames of
+    w×h×3 (F = len(payload)/(w·h·3)); real containers (mp4/webm) would
+    slot a demuxer into this exact mapInPandas shape. Emits one
+    re-encoded lossless frame row per sampled index — a 1:N unnest in
+    Arrow batches, never per-pixel Python."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, blobs, ws, hs = [], [], [], [], []
+            for image_id, blob in zip(pdf["image_id"], pdf["bytes"]):
+                fmt, w, h, px = decode_blob(bytes(blob))
+                frame_sz = w * h * 3
+                n_frames = max(len(px) // frame_sz, 1)
+                header = bytes(MAGIC) + bytes([0]) + w.to_bytes(2, "big") + h.to_bytes(2, "big")
+                for fi in range(0, n_frames, every_nth):
+                    frame = px[fi * frame_sz:(fi + 1) * frame_sz]
+                    ids.append(image_id)
+                    idxs.append(fi)
+                    blobs.append(header + frame.tobytes())
+                    ws.append(w)
+                    hs.append(h)
+            yield pd.DataFrame(
+                {"image_id": ids, "frame_idx": idxs, "bytes": blobs, "w": ws, "h": hs}
+            )
+
+    return videos.select("image_id", "bytes").mapInPandas(run, FRAME_SAMPLE_SCHEMA)

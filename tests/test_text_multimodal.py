@@ -91,3 +91,30 @@ def test_resize_shape_and_determinism(spark):
 def test_decode_rejects_unknown_codec():
     with pytest.raises(NotImplementedError):
         multimodal.decode_blob(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)
+
+
+def test_frame_sample_video_payloads(spark):
+    """Multi-frame payloads: sample every 2nd frame, each emitted as a
+    valid lossless single-frame blob with the right pixels."""
+    import pandas as pd
+
+    # build 4-frame 'videos' (4·(4·4·3) pixel bytes) from the pixel rule
+    ph = np.array([11, 22, 33], dtype=np.uint64)
+    px = synth.pixels_for_phash(ph, 4, 16)  # 4*16*3 = 192 = 4 frames of 4x4x3
+    header = bytes(synth.MAGIC) + bytes([0]) + (4).to_bytes(2, "big") + (4).to_bytes(2, "big")
+    vids = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": [f"vid{i}" for i in range(3)],
+                "bytes": [header + row.tobytes() for row in px],
+            }
+        )
+    )
+    out = multimodal.frame_sample(vids, every_nth=2).collect()
+    assert len(out) == 3 * 2  # frames 0 and 2 of each video
+    for r in out:
+        fmt, w, h, pxr = multimodal.decode_blob(bytes(r.bytes))
+        assert (w, h) == (4, 4) and len(pxr) == 48
+        src = synth.pixels_for_phash(np.array([ph[int(r.image_id[3:])]]), 4, 16)[0]
+        fi = r.frame_idx
+        assert (pxr == src[fi * 48:(fi + 1) * 48]).all()
