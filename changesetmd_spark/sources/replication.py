@@ -98,10 +98,21 @@ class SyntheticReplicationSource:
         return b.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
     def comments_for(self, seq: int) -> DataFrame:
-        """Child comment rows for a sequence (drives A11)."""
+        """Child comment rows for a sequence (drives A11). Parents are
+        drawn from ``fetch(seq)``'s id rule (its first 10 row indices),
+        honoring the reference invariant that a comment's parent
+        changeset always rides in the same diff — which is what makes
+        delete-then-reinsert replay idempotent."""
+        n = self.batch_size
         return (
             self.spark.range(10)
-            .withColumn("comment_changeset_id", F.pmod(F.col("id") * 31 + F.lit(seq), self.base_ids) + 1)
+            .withColumn(
+                "comment_changeset_id",
+                F.when(
+                    F.pmod(F.col("id"), 5) < 3,
+                    F.pmod(F.col("id") * 37 + F.lit(seq) * 101, self.base_ids) + 1,
+                ).otherwise(self.base_ids + F.lit(seq) * n + F.col("id")),
+            )
             .withColumn("comment_user_id", F.pmod(F.col("id") * 11, 100) + 1)
             .withColumn("comment_user_name", F.concat(F.lit("rc_"), F.col("comment_user_id")))
             .withColumn(
@@ -111,6 +122,76 @@ class SyntheticReplicationSource:
             .withColumn("comment_text", F.concat(F.lit("replicated #"), F.lit(seq)))
             .drop("id")
         )
+
+
+class FileReplicationSource:
+    """Replication-endpoint adapter honoring the reference's wire
+    protocol over a local/``file://`` base (this sandbox has no
+    network; on a real cluster the base becomes the HTTPS endpoint and
+    nothing else changes):
+
+    - ``head()``: fetch ``{base}/state.yaml`` and parse the
+      ``sequence:`` line — the reference's server-state discovery
+      (changesetmd.py:337-343).
+    - ``fetch(seq)``: zero-pad the sequence to 9 digits, split
+      ``AAA/BBB/CCC`` into topdir/subdir/file and read
+      ``{base}/AAA/BBB/CCC.osm.gz`` (changesetmd.py:290-300) — here a
+      distributed Spark XML scan of the gzip'd micro-batch instead of
+      a streamed lxml parse.
+    - ``comments_for(seq)``: the same file's <discussion> children
+      flattened (the reference parses both relations from one stream).
+    """
+
+    def __init__(self, spark: SparkSession, base: str):
+        self.spark = spark
+        self.base = base.rstrip("/")
+
+    def _local_base(self) -> str:
+        return self.base[len("file://"):] if self.base.startswith("file://") else self.base
+
+    def head(self) -> int:
+        import re
+
+        with open(f"{self._local_base()}/state.yaml", encoding="utf-8") as f:
+            text = f.read()
+        m = re.search(r"^sequence:\s*(\d+)\s*$", text, re.MULTILINE)
+        if not m:
+            raise ValueError("state.yaml has no sequence line")
+        return int(m.group(1))
+
+    @staticmethod
+    def sequence_path(seq: int) -> str:
+        s = str(seq).zfill(9)
+        return f"{s[:3]}/{s[3:6]}/{s[6:]}.osm.gz"
+
+    def _raw(self, seq: int):
+        from .xml_ingest import read_changesets_xml
+
+        return read_changesets_xml(self.spark, f"{self.base}/{self.sequence_path(seq)}")
+
+    def fetch(self, seq: int) -> DataFrame:
+        from .xml_ingest import parse_changesets
+
+        batch = parse_changesets(self._raw(seq))
+        # a diff may carry the same changeset twice (touched twice in
+        # the window); the reference applies rows in document order so
+        # the last occurrence wins — a distributed scan has no stable
+        # document order, so keep the most-advanced state per id
+        # deterministically instead (latest closed_at, then largest
+        # num_changes).
+        w = Window.partitionBy("id").orderBy(
+            F.desc_nulls_last("closed_at"), F.desc_nulls_last("num_changes")
+        )
+        return (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def comments_for(self, seq: int) -> DataFrame:
+        from .xml_ingest import parse_comments
+
+        return parse_comments(self._raw(seq))
 
 
 def replicate(
@@ -147,10 +228,14 @@ def replicate(
             batch = source.fetch(seq)
             store.merge(batch, sequence=seq)
             if comments_store is not None:
-                # A11: replace child rows for replicated parents
+                # A11: delete children for EVERY replicated parent id
+                # (reference calls delete_existing per changeset in the
+                # batch, changesetmd.py:236-237) — a parent updated with
+                # zero comments in this diff must lose its stale
+                # comments — then reinsert the diff's comment rows.
                 c = source.comments_for(seq)
                 comments_store.delete_keys(
-                    c.select(F.col("comment_changeset_id").alias(comments_store.key)),
+                    batch.select(F.col(store.key).alias(comments_store.key)),
                     sequence=seq,
                 )
                 comments_store.append(c, sequence=seq)

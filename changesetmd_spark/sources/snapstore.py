@@ -35,7 +35,7 @@ import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 LOG = "snapshots.json"
@@ -53,10 +53,22 @@ class ConcurrentWriteError(RuntimeError):
 
 
 class SnapStore:
-    def __init__(self, spark: SparkSession, root: str, key: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        key: str,
+        auto_compact_every: int = 16,
+    ):
+        """``auto_compact_every``: after this many keyed deltas
+        (merge/delete) accumulate past the last compact snapshot, the
+        store compacts itself — bounding the per-read resolution cost
+        (Iceberg's commit.manifest-merge / maintenance analog). Set 0
+        to disable."""
         self.spark = spark
         self.root = root
         self.key = key
+        self.auto_compact_every = auto_compact_every
         os.makedirs(root, exist_ok=True)
 
     # -- snapshot log -------------------------------------------------
@@ -95,13 +107,18 @@ class SnapStore:
         path = os.path.join(self.root, "data", f"snap-{snap_id:06d}")
         df.write.mode("errorifexists").parquet(path)
         wall_ms = int((time.time() - t0) * 1000)
-        written = self.spark.read.parquet(path)
+        # lineage metrics from parquet FOOTERS (pyarrow metadata read,
+        # no data scan) — writing used to be followed by a full Spark
+        # re-read of the snapshot purely for row counts, doubling write
+        # I/O per commit. One parquet file == one write partition.
+        import pyarrow.parquet as pq
+
+        files = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
         part_rows = [
-            {"partition_id": r["p"], "rows": r["count"]}
-            for r in written.groupBy(F.spark_partition_id().alias("p")).count().collect()
+            {"partition_id": i, "rows": pq.ParquetFile(os.path.join(path, f)).metadata.num_rows}
+            for i, f in enumerate(files)
         ]
         rows = sum(p["rows"] for p in part_rows)
-        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
         self._commit(
             {
                 "op": op,
@@ -116,6 +133,16 @@ class SnapStore:
         )
         return snap_id
 
+    def _keyed_deltas_since_compact(self) -> int:
+        return len([s for s in self._deltas() if s["op"] in (OP_MERGE, OP_DELETE)])
+
+    def _maybe_auto_compact(self) -> None:
+        if (
+            self.auto_compact_every
+            and self._keyed_deltas_since_compact() >= self.auto_compact_every
+        ):
+            self.compact(auto=True)
+
     def create(self, df: DataFrame, **meta) -> int:
         assert not self.snapshots(), "table already exists"
         return self._write_delta(df.withColumn("_deleted", F.lit(False)), OP_APPEND, meta)
@@ -128,13 +155,17 @@ class SnapStore:
     def merge(self, updates: DataFrame, **meta) -> int:
         """A10: upsert by key — MERGE INTO ... WHEN MATCHED UPDATE SET *
         WHEN NOT MATCHED INSERT *. Merge-on-read: later snapshots win."""
-        return self._write_delta(updates.withColumn("_deleted", F.lit(False)), OP_MERGE, meta)
+        sid = self._write_delta(updates.withColumn("_deleted", F.lit(False)), OP_MERGE, meta)
+        self._maybe_auto_compact()
+        return sid
 
     def delete_keys(self, keys: DataFrame, **meta) -> int:
         """A11: delete by key (tombstone rows)."""
         cur = self.read()
         doomed = cur.join(keys.select(self.key).distinct(), self.key, "left_semi")
-        return self._write_delta(doomed.withColumn("_deleted", F.lit(True)), OP_DELETE, meta)
+        sid = self._write_delta(doomed.withColumn("_deleted", F.lit(True)), OP_DELETE, meta)
+        self._maybe_auto_compact()
+        return sid
 
     def compact(self, **meta) -> int:
         """rewrite_data_files analog: materialize current state as one
@@ -159,45 +190,77 @@ class SnapStore:
         return snaps
 
     def read(self, as_of: int | None = None) -> DataFrame:
-        """Current (or time-travel) state: latest row per key wins;
-        tombstones drop rows. Appends never overwrite (multi-set)."""
+        """Current (or time-travel) state. Resolution contract:
+
+        - A key's *current version* is owned by its latest keyed
+          snapshot (merge/delete): ALL rows of that snapshot for the
+          key survive (merges may legitimately carry >1 row per key,
+          e.g. child tables keyed by parent id); rows of the same key
+          from any EARLIER snapshot — keyed or appended — are dropped.
+        - Append rows NEWER than the key's last keyed snapshot pass
+          through (INSERT is multi-set, duplicates allowed).
+        - Keys never touched by a keyed snapshot pass through whole.
+        - Tombstones (_deleted) drop out at the end, so a delete
+          snapshot erases the key until a later append/merge.
+
+        Determinism: snapshot ids are unique, so "latest keyed
+        snapshot" needs no tie-break; within one snapshot every row is
+        kept (multi-set), so there is no nondeterministic survivor.
+        Scale: resolution is one aggregation over keyed-delta rows only
+        (small — bounded by auto-compaction) + one equi-join on the
+        key; AQE broadcasts the aggregate when it is small."""
         snaps = self._deltas(upto=as_of)
         if not snaps:
             raise ValueError("empty table")
-        dfs = []
-        for s in snaps:
-            d = self.spark.read.parquet(s["path"]).withColumn("_snap", F.lit(s["id"]))
-            dfs.append(d if s["op"] != OP_APPEND and s["op"] != OP_COMPACT else d)
+        keyed_ops = {s["id"] for s in snaps if s["op"] in (OP_MERGE, OP_DELETE)}
+        dfs = [
+            self.spark.read.parquet(s["path"])
+            .withColumn("_snap", F.lit(s["id"]).cast("long"))
+            .withColumn("_keyed", F.lit(s["id"] in keyed_ops))
+            for s in snaps
+        ]
         all_rows = dfs[0]
         for d in dfs[1:]:
             all_rows = all_rows.unionByName(d)
-        # resolution: for keys touched by merge/delete, latest snapshot
-        # wins; plain appended rows for untouched keys pass through.
-        keyed_ops = {s["id"] for s in snaps if s["op"] in (OP_MERGE, OP_DELETE)}
         if not keyed_ops:
-            return all_rows.filter(~F.col("_deleted")).drop("_deleted", "_snap")
-        w = Window.partitionBy(self.key).orderBy(F.desc("_snap"))
-        resolved = (
-            all_rows.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            return all_rows.filter(~F.col("_deleted")).drop("_deleted", "_snap", "_keyed")
+        latest_keyed = (
+            all_rows.filter(F.col("_keyed"))
+            .groupBy(self.key)
+            .agg(F.max("_snap").alias("_kmax"))
         )
-        return resolved.filter(~F.col("_deleted")).drop("_deleted", "_snap")
+        resolved = all_rows.join(latest_keyed, self.key, "left").filter(
+            F.col("_kmax").isNull()
+            | (F.col("_keyed") & (F.col("_snap") == F.col("_kmax")))
+            | (~F.col("_keyed") & (F.col("_snap") > F.col("_kmax")))
+        )
+        return resolved.filter(~F.col("_deleted")).drop(
+            "_deleted", "_snap", "_keyed", "_kmax"
+        )
 
     def incremental(self, start_exclusive: int, end_inclusive: int | None = None) -> DataFrame:
         """A13/A14: rows written in (start, end] — Iceberg
-        start-snapshot-id/end-snapshot-id incremental read."""
+        start-snapshot-id/end-snapshot-id incremental read. Total API:
+        an empty range returns an empty DataFrame with the table schema
+        (never None), so callers can chain count()/union unguarded."""
+        all_snaps = self.snapshots()
+        if not all_snaps:
+            raise ValueError("empty table")
         snaps = [
             s
-            for s in self.snapshots()
+            for s in all_snaps
             if s["id"] > start_exclusive
             and (end_inclusive is None or s["id"] <= end_inclusive)
             and s["op"] != OP_COMPACT
         ]
         if not snaps:
-            return None
+            return (
+                self.spark.read.parquet(all_snaps[-1]["path"])
+                .withColumn("_snap", F.lit(-1).cast("long"))
+                .limit(0)
+            )
         dfs = [
-            self.spark.read.parquet(s["path"]).withColumn("_snap", F.lit(s["id"]))
+            self.spark.read.parquet(s["path"]).withColumn("_snap", F.lit(s["id"]).cast("long"))
             for s in snaps
         ]
         out = dfs[0]

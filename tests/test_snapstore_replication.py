@@ -9,7 +9,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from changesetmd_spark import synth
-from changesetmd_spark.sources.replication import SyntheticReplicationSource, replicate
+from changesetmd_spark.sources.replication import (
+    FileReplicationSource,
+    SyntheticReplicationSource,
+    replicate,
+)
 from changesetmd_spark.sources.snapstore import ConcurrentWriteError, SnapStore
 
 
@@ -85,7 +89,11 @@ def test_incremental_read_bounded_replay(spark, store):
     inc = store.incremental(s0, s2)
     assert inc.count() == 2
     assert store.incremental(s1, s2).count() == 1
-    assert store.incremental(s2) is None
+    # empty range → empty DataFrame with the table schema (total API)
+    empty = store.incremental(s2)
+    assert empty.count() == 0
+    assert set(inc.columns) == set(empty.columns)
+    assert inc.unionByName(empty).count() == 2  # chains without None-checks
 
 
 def test_mutex_single_writer(spark, store):
@@ -107,6 +115,72 @@ def test_lineage_and_metrics_tables(spark, store):
     assert row.op == "merge" and row.parent == 0 and row.rows == 5
     m = store.metrics()
     assert m.agg(F.sum("rows")).collect()[0][0] == 45
+
+
+def test_multirow_keys_survive_merge_resolution(spark, tmp_path):
+    """A key's latest keyed snapshot keeps ALL its rows (child tables
+    are legitimately multi-row per key); appends for untouched keys and
+    appends NEWER than the key's last keyed snapshot pass through."""
+    cm = SnapStore(spark, str(tmp_path / "cm"), key="pid")
+    rows = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "x"), (2, "y"), (3, "z")], "pid int, txt string"
+    )
+    cm.create(rows)
+    # delete parent 1, then reinsert TWO fresh rows for it (A11 cycle)
+    cm.delete_keys(spark.createDataFrame([(1,)], "pid int"))
+    cm.append(spark.createDataFrame([(1, "n1"), (1, "n2")], "pid int, txt string"))
+    cur = cm.read()
+    got = sorted((r.pid, r.txt) for r in cur.collect())
+    # parent 1: both reinserted rows survive (the old bug collapsed
+    # multi-row keys to one nondeterministic survivor); parents 2 and 3
+    # (untouched by any keyed snapshot) keep every row.
+    assert got == [(1, "n1"), (1, "n2"), (2, "x"), (2, "y"), (3, "z")]
+    # a merge that carries 2 rows for one key keeps both (multi-set)
+    cm.merge(spark.createDataFrame([(2, "m1"), (2, "m2")], "pid int, txt string"))
+    got2 = sorted((r.pid, r.txt) for r in cm.read().collect())
+    assert got2 == [(1, "n1"), (1, "n2"), (2, "m1"), (2, "m2"), (3, "z")]
+
+
+def test_write_metrics_without_data_rescan(spark, tmp_path, monkeypatch):
+    """Lineage/metrics come from parquet footers — a commit performs
+    exactly one data pass (the write itself), never a Spark re-read."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    st = SnapStore(spark, str(tmp_path / "m"), key="id")
+    base = synth.changesets(spark, 60)
+
+    real_parquet = DataFrameReader.parquet
+
+    def boom(self, *paths, **kw):
+        raise AssertionError("commit path re-read the snapshot it just wrote")
+
+    monkeypatch.setattr(DataFrameReader, "parquet", boom)
+    st.create(base)  # append commit must not read parquet
+    monkeypatch.setattr(DataFrameReader, "parquet", real_parquet)
+
+    lin = st.lineage().collect()
+    assert lin[0].rows == 60 and lin[0].n_files >= 1
+    assert st.metrics().agg(F.sum("rows")).collect()[0][0] == 60
+    assert st.read().count() == 60
+
+
+def test_auto_compaction_bounds_deltas(spark, tmp_path):
+    """After K keyed deltas the store compacts itself, bounding the
+    number of deltas any read must resolve."""
+    st = SnapStore(spark, str(tmp_path / "ac"), key="id", auto_compact_every=3)
+    base = synth.changesets(spark, 40)
+    st.create(base)
+    for i in range(7):
+        st.merge(base.filter(F.col("id") <= 5 + i).withColumn("num_changes", F.lit(i)))
+    ops = [s["op"] for s in st.snapshots()]
+    assert "compact" in ops
+    # reads scan a bounded window: at most K keyed deltas + the compact base
+    assert st._keyed_deltas_since_compact() < 3
+    assert len(st._deltas()) <= 4
+    cur = st.read()
+    assert cur.count() == 40
+    # latest merge wins for the touched keys
+    assert cur.filter(F.col("id") <= 5).agg(F.min("num_changes")).collect()[0][0] == 6
 
 
 def test_replication_loop_checkpoint_and_resume(spark, tmp_path):
@@ -163,3 +237,160 @@ def test_comment_delete_then_reinsert(spark, tmp_path):
         .count().filter(F.col("count") > 1)
     )
     assert dup.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# FileReplicationSource — the reference wire protocol over file:// fixtures
+# ---------------------------------------------------------------------------
+
+def _cs_xml(i: int, seq: int, comments=()) -> str:
+    attrs = (
+        f'id="{i}" created_at="2021-01-01T00:00:00Z" '
+        f'closed_at="2021-01-01T0{seq}:00:00Z" open="false" '
+        f'uid="{i % 7}" user="u{i % 7}" min_lat="1.0" max_lat="2.0" '
+        f'min_lon="3.0" max_lon="4.0" num_changes="{seq * 10 + i}"'
+    )
+    body = f'<tag k="seq" v="{seq}"/>'
+    if comments:
+        body += (
+            "<discussion>"
+            + "".join(
+                f'<comment uid="9" user="rev" date="2021-03-0{seq + 1}T10:00:00Z">'
+                f"<text>{t}</text></comment>"
+                for t in comments
+            )
+            + "</discussion>"
+        )
+    return f"<changeset {attrs}>{body}</changeset>"
+
+
+def _osm_doc(rows) -> str:
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n<osm version="0.6">\n'
+        + "\n".join(rows)
+        + "\n</osm>\n"
+    )
+
+
+def _write_endpoint(base, seq_docs: dict) -> None:
+    """Lay out the reference's replication directory: AAA/BBB/CCC.osm.gz
+    per 9-digit sequence + state.yaml head (changesetmd.py:290-300,337-343)."""
+    import gzip
+
+    for seq, doc in seq_docs.items():
+        p = base / FileReplicationSource.sequence_path(seq)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        with gzip.open(p, "wt", encoding="utf-8") as f:
+            f.write(doc)
+    (base / "state.yaml").write_text(
+        "---\nlast_run: 2021-03-03 10:00:00.000000000 +00:00\n"
+        f"sequence: {max(seq_docs)}\n"
+    )
+
+
+@pytest.fixture()
+def endpoint(spark, tmp_path):
+    base = tmp_path / "repl"
+    base.mkdir()
+    _write_endpoint(
+        base,
+        {
+            # seq1: parent 1 updated WITHOUT comments (must drop its
+            # stale seed comment); parent 6 gains two comments
+            1: _osm_doc([_cs_xml(1, 1), _cs_xml(6, 1, ["c6a", "c6b"])]),
+            # seq2: parent 6 updated WITHOUT comments (loses seq1's);
+            # parent 2 gains one
+            2: _osm_doc([_cs_xml(2, 2, ["c2"]), _cs_xml(6, 2)]),
+            # seq3: parent 6 regains exactly one comment
+            3: _osm_doc([_cs_xml(3, 3), _cs_xml(6, 3, ["c6final"])]),
+        },
+    )
+    # seed table state: ids 1..6 at seq 0, parent 1 carries a stale comment
+    seed = tmp_path / "seed.osm.gz"
+    import gzip
+
+    with gzip.open(seed, "wt", encoding="utf-8") as f:
+        f.write(_osm_doc([_cs_xml(i, 0, ["stale1"] if i == 1 else ()) for i in range(1, 7)]))
+    return base, seed
+
+
+def _seed_stores(spark, tmp_path, seed, tag: str):
+    from changesetmd_spark.sources import xml_ingest as xi
+
+    raw = xi.read_changesets_xml(spark, str(seed))
+    cs = SnapStore(spark, str(tmp_path / f"cs_{tag}"), key="id")
+    cm = SnapStore(spark, str(tmp_path / f"cm_{tag}"), key="comment_changeset_id")
+    cs.create(xi.parse_changesets(raw))
+    cm.create(xi.parse_comments(raw))
+    return cs, cm
+
+
+def test_file_replication_endpoint_e2e(spark, tmp_path, endpoint):
+    """Full reference protocol over file://: head() from state.yaml,
+    AAA/BBB/CCC.osm.gz fetches, watermarked replication with
+    delete-then-reinsert children, crash mid-run + resume → identical
+    final state to an uninterrupted run."""
+    base, seed = endpoint
+    src = FileReplicationSource(spark, str(base))
+    assert src.head() == 3
+    assert FileReplicationSource.sequence_path(4581387) == "004/581/387.osm.gz"
+
+    # uninterrupted run
+    cs, cm = _seed_stores(spark, tmp_path, seed, "ref")
+    out = replicate(cs, src, comments_store=cm)
+    assert out["applied"] == 3 and out["to"] == 3
+    assert cs.read_state()["last_sequence"] == 3
+
+    final = {r.id: r.num_changes for r in cs.read().collect()}
+    # id 6 replicated three times → seq3 wins; untouched ids keep seed
+    assert final[6] == 36 and final[4] == 4 and final[5] == 5
+    assert final[1] == 11 and final[2] == 22 and final[3] == 33
+
+    com = [(r.comment_changeset_id, r.comment_text) for r in cm.read().collect()]
+    # stale seed comment on parent 1 gone (silent update), parent 6
+    # holds ONLY seq3's comment, parent 2 holds seq2's
+    assert sorted(com) == [(2, "c2"), (6, "c6final")]
+
+    # crash after 1 batch, resume from the watermark → converges
+    cs2, cm2 = _seed_stores(spark, tmp_path, seed, "crash")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        replicate(cs2, src, comments_store=cm2, fail_after=1)
+    assert cs2.read_state()["last_sequence"] == 1
+    out2 = replicate(cs2, src, comments_store=cm2)
+    assert out2["from"] == 2 and out2["applied"] == 2
+    assert _table_fingerprint(cs2.read().drop("tags")) == _table_fingerprint(
+        cs.read().drop("tags")
+    )
+    assert _table_fingerprint(cm2.read()) == _table_fingerprint(cm.read())
+
+
+def test_replicated_parents_lose_stale_comments(spark, tmp_path):
+    """A11 exact semantics (changesetmd.py:236-237): children are
+    deleted for EVERY replicated changeset id — a parent updated with
+    zero comments in the diff must still lose its stale comments."""
+    src = SyntheticReplicationSource(spark, head_seq=1, batch_size=20, base_ids=50)
+    cs = SnapStore(spark, str(tmp_path / "cs"), key="id")
+    cm = SnapStore(spark, str(tmp_path / "cm"), key="comment_changeset_id")
+    cs.create(synth.changesets(spark, 50))
+    cm.create(synth.comments(spark, changeset_count=50, n=40))
+
+    batch_ids = {r.id for r in src.fetch(1).select("id").collect()}
+    new_comment_ids = {
+        r.comment_changeset_id
+        for r in src.comments_for(1).select("comment_changeset_id").collect()
+    }
+    silent = batch_ids - new_comment_ids  # replicated, no new comments
+    had_stale = {
+        r.comment_changeset_id
+        for r in cm.read().select("comment_changeset_id").distinct().collect()
+    } & silent
+    assert had_stale, "fixture must exercise the silent-parent case"
+
+    replicate(cs, src, comments_store=cm)
+    left = {
+        r.comment_changeset_id
+        for r in cm.read().select("comment_changeset_id").distinct().collect()
+    }
+    assert not (left & silent), "stale comments survived for silently-updated parents"
+    # parents with new comments carry exactly the diff's rows
+    assert new_comment_ids <= left

@@ -81,6 +81,33 @@ def test_gzip_source(spark, tmp_path):
     assert cs.count() == truth["changesets"]
 
 
+def test_multistream_bz2_source(spark, tmp_path):
+    """A2: the reference's primary corpus is a multi-stream .osm.bz2
+    (pbzip2-style concatenated streams, changesetmd.py:32-37,570-583).
+    Hadoop's Bzip2Codec must decode ALL streams — a naive single-stream
+    reader silently truncates at the first stream boundary."""
+    import bz2
+
+    plain = tmp_path / "cs.osm"
+    truth = xi.synthesize_fixture_xml(str(plain), n=120, comments_every=20)
+    data = plain.read_bytes()
+    mid = len(data) // 2  # split mid-document, mid-element is fine
+    two_stream = bz2.compress(data[:mid]) + bz2.compress(data[mid:])
+    p = tmp_path / "cs.osm.bz2"
+    p.write_bytes(two_stream)
+
+    cs = xi.parse_changesets(xi.read_changesets_xml(spark, str(p)))
+    assert cs.count() == truth["changesets"]
+    cm = xi.parse_comments(xi.read_changesets_xml(spark, str(p)))
+    assert cm.count() == truth["comments"]
+    # parity with the uncompressed twin, row-for-row (map column is not
+    # set-op comparable — serialize it)
+    norm = lambda d: d.withColumn("tags", F.to_json("tags"))  # noqa: E731
+    ref = norm(xi.parse_changesets(xi.read_changesets_xml(spark, str(plain))))
+    got = norm(cs)
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+
+
 def test_tag_queries_b2_b3(spark, fixture):
     """Cookbook queries over ingested tags (README.md:220-228):
     key-existence and value-prefix predicates on the tag map."""
