@@ -27,6 +27,14 @@ ROWS_PER_BAND = N_PERM // N_BANDS
 MH_PRIME = 4294967311  # smallest prime > 2^32
 JACCARD_T_Q = 700000  # τ = 0.70 quantized ×1e6
 SHINGLE_K = 3
+# document-frequency cap for the exact-Jaccard inverted index: a
+# shingle shared by d docs yields d²/2 candidate pairs in the
+# self-join, so one stop-phrase shingle is quadratic at corpus scale.
+# Shingles with df > cap are dropped from the index AND from the
+# per-doc set sizes (classic frequency filtering) — i.e. the operator
+# computes Jaccard over the df-capped shingle sets, mirrored 1:1 in
+# the oracle SQL.
+NGRAM_MAX_DF = 200
 
 # SimHash parameters: 32-bit hash, 4 bands × 8 bits, hamming ≤ 3
 SH_BITS = 32
@@ -106,15 +114,30 @@ def ngram_jaccard_pairs(
     threshold_q: int = JACCARD_T_Q,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int = NGRAM_MAX_DF,
 ) -> DataFrame:
-    """All pairs with shingle-set Jaccard ≥ τ. Inverted-index join on
-    shingle hash (candidates share ≥1 shingle — everything above τ>0
-    does), count common per pair, compute |A∪B| = |A|+|B|−common.
-    Returns (doc_a, doc_b, jaccard_q)."""
+    """All pairs with shingle-set Jaccard ≥ τ over the df-capped
+    shingle sets (see NGRAM_MAX_DF — shingles hotter than ``max_df``
+    docs are dropped before the self-join, bounding any shingle's
+    candidate fan-out at max_df²/2 instead of corpus²). Inverted-index
+    join on shingle hash, count common per pair, |A∪B| = |A|+|B|−common.
+    Returns (doc_a, doc_b, jaccard_q).
+
+    Scale shape: the hot-shingle set is tiny BY CONSTRUCTION (each
+    survivor of the HAVING > max_df filter represents > max_df rows),
+    so it broadcasts; the cap itself is one map-side-combined groupBy.
+    """
     # no .cache(): the shingle index is cheap column math; caching it
     # across branches leaks executor memory over a long session and
     # recompute is cheaper than the GC pressure (measured in bench)
-    sh = _exploded_shingle_hashes(docs, id_col, text_col)
+    sh_all = _exploded_shingle_hashes(docs, id_col, text_col)
+    hot = (
+        sh_all.groupBy("sh")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("sh")
+    )
+    sh = sh_all.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -141,10 +164,13 @@ def NGRAM_JACCARD_SQL(
     id_col: str = "doc_id",
     text_col: str = "text",
     table: str = "documents",
+    max_df: int = NGRAM_MAX_DF,
 ) -> str:
-    sh = _SHINGLE_HASHES_SQL(id_col, text_col, table)
+    sh_all = _SHINGLE_HASHES_SQL(id_col, text_col, table)
     return f"""
-        WITH sh AS ({sh}),
+        WITH sh_all AS ({sh_all}),
+        hot AS (SELECT sh FROM sh_all GROUP BY sh HAVING count(*) > {max_df}),
+        sh AS (SELECT * FROM sh_all WHERE sh NOT IN (SELECT sh FROM hot)),
         sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
         common AS (
             SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS n_common

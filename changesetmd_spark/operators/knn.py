@@ -24,7 +24,9 @@ row_number is stable across engines and runs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import math
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import geo, hexgrid
@@ -113,32 +115,46 @@ def knn_join_safe(
     p_lat: str = "lat",
     p_lon: str = "lon",
 ) -> DataFrame:
-    """EXACT kNN at any density: ring-accelerated candidates, then an
-    exact fallback for precisely the queries the rings cannot certify.
+    """EXACT kNN at any density and any latitude: ring-accelerated
+    candidates, then an exact fallback for precisely the queries the
+    rings cannot certify.
 
     A query's ring result is provably global iff it found ≥ k
-    candidates AND its k-th distance ≤ the ring guarantee radius
-    (every point within that radius is guaranteed to share the disk).
-    Certified queries keep their (cheap) ring answer; the remainder —
-    typically none at production density — re-run via broadcast cross
-    join. Output identical to ``knn_join_exact`` by construction."""
-    guarantee = min_ring_guarantee_km(res, rings)
+    candidates AND its k-th distance ≤ its *per-query* guarantee
+    radius ``ring_guarantee_km`` — which shrinks with |latitude| (a km
+    of longitude spans ever more degrees toward the poles, where the
+    degree-space hex disk covers ever less physical ground) and
+    vanishes for queries near the poles or within the disk's reach of
+    the antimeridian (the grid does not wrap), forcing those to the
+    exact path. Certified queries keep their (cheap) ring answer; the
+    remainder — typically none at production density — re-run via
+    broadcast cross join. Output identical to ``knn_join_exact`` by
+    construction.
+
+    Single-pass plan: the ring join + top-k window materializes ONCE
+    (``localCheckpoint`` — the output is ≤ |Q|·k slim rows) and the
+    certificate is computed with windows over the SAME q_id
+    partitioning (no extra shuffle); the three consumers (certified
+    rows, failed ids, zero-candidate anti-join) all read the
+    checkpointed blocks instead of re-running the join."""
     ringed = knn_join_rings(
         queries, points, k, res=res, rings=rings,
         q_id=q_id, q_lat=q_lat, q_lon=q_lon, p_id=p_id, p_lat=p_lat, p_lon=p_lon,
         broadcast_queries=True,
+    ).localCheckpoint()
+    guarantee = ring_guarantee_km(F.col(q_lat), F.col(q_lon), res, rings)
+    wq = Window.partitionBy(q_id)
+    certed = (
+        ringed.withColumn("_nk", F.count("*").over(wq))
+        .withColumn("_dk", F.max("dist_km").over(wq))
+        .withColumn("_cert", (F.col("_nk") >= k) & (F.col("_dk") <= guarantee))
     )
-    per_q = ringed.groupBy(q_id).agg(
-        F.count("*").alias("_n"), F.max("dist_km").alias("_dk")
-    )
-    unsafe_ids = per_q.filter(
-        (F.col("_n") < k) | (F.col("_dk") > guarantee)
-    ).select(q_id)
-    # queries with ZERO candidates never reach per_q — catch via anti join
+    safe_part = certed.filter(F.col("_cert")).drop("_nk", "_dk", "_cert")
+    unsafe_ids = certed.filter(~F.col("_cert")).select(q_id).distinct()
+    # queries with ZERO candidates never appear in ringed — anti join
     no_cand = queries.join(ringed.select(q_id).distinct(), q_id, "left_anti").select(q_id)
     unsafe_ids = unsafe_ids.unionByName(no_cand).distinct()
 
-    safe_part = ringed.join(F.broadcast(unsafe_ids), q_id, "left_anti")
     unsafe_queries = queries.join(F.broadcast(unsafe_ids), q_id, "left_semi")
     exact_part = knn_join_exact(
         unsafe_queries, points, k,
@@ -147,10 +163,50 @@ def knn_join_safe(
     return safe_part.unionByName(exact_part.select(*safe_part.columns))
 
 
+# mean earth radius used by geo.haversine_km — certificates must bound
+# the SAME metric the join ranks by
+_R_KM = 6371.0088
+_KM_PER_DEG_LAT = 111.19  # < π·R/180 = 111.1949 → conservative
+
+
+def ring_disk_radius_deg(res: int, rings: int) -> float:
+    """Euclidean degree radius provably covered by the rings-disk:
+    points within (rings − 1) hex inradii (√3/2·size) of the query are
+    in a covered cell. Property-tested against the exact oracle."""
+    return max(0, rings - 1) * (3**0.5 / 2) * hexgrid.size_deg(res)
+
+
+def ring_guarantee_km(q_lat: Column, q_lon: Column, res: int, rings: int) -> Column:
+    """Per-query certificate radius: every point whose haversine
+    distance to (q_lat, q_lon) is ≤ this many km provably lies inside
+    the query's rings-disk. Derivation (G = disk radius in Euclidean
+    degrees, g = G/√2): a point OUTSIDE the disk has degree-distance
+    > G, hence |Δlat| > g or |Δlon| > g. If |Δlat| > g its haversine
+    distance exceeds 111.19·g km (meridian arc). Else |Δlat| ≤ g pins
+    the point's latitude to |q_lat| + g, and haversine ≥
+    2R·√(cos φ_q·cos φ_p)·sin(Δλ/2) > 2R·cos_min·sin(g/2) with
+    cos_min = cos(min(90°, |q_lat| + g)). The guarantee is the min of
+    the two branch bounds — any point within it must be inside the
+    disk. Near the poles cos_min → 0 and within G degrees of the
+    antimeridian the no-wraparound grid loses coverage, so the
+    guarantee is 0 there: those queries always take the exact path."""
+    G = ring_disk_radius_deg(res, rings)
+    g = G / math.sqrt(2.0)
+    cos_min = F.cos(F.radians(F.abs(q_lat) + F.lit(g)))
+    lat_branch = F.lit(_KM_PER_DEG_LAT * g)
+    lon_branch = F.lit(2.0 * _R_KM * math.sin(math.radians(g) / 2.0)) * cos_min
+    # |q_lat| + g must stay strictly below 90°: past it the candidate's
+    # cos φ is no longer bounded below by cos_min (pole degeneracy)
+    ok = (F.abs(q_lon) <= F.lit(180.0 - G)) & (F.abs(q_lat) + F.lit(g) < F.lit(90.0))
+    return F.when(ok, F.least(lat_branch, lon_branch)).otherwise(F.lit(0.0))
+
+
 def min_ring_guarantee_km(res: int, rings: int) -> float:
-    """Lower bound on the radius (km, at the equator in the worst
-    latitude-direction) inside which ``knn_join_rings`` provably sees
-    every candidate: (rings − 1) disks of hexes whose inradius is
-    √3/2·size (degrees), 1° lat ≈ 111.19 km. Conservative."""
-    size = hexgrid.size_deg(res)
-    return max(0, rings - 1) * (3**0.5 / 2) * size * 111.19
+    """Scalar equator-value of ``ring_guarantee_km`` (documentation /
+    sizing aid; the join itself certifies per query)."""
+    G = ring_disk_radius_deg(res, rings)
+    g = G / math.sqrt(2.0)
+    return min(
+        _KM_PER_DEG_LAT * g,
+        2.0 * _R_KM * math.sin(math.radians(g) / 2.0) * math.cos(math.radians(g)),
+    )

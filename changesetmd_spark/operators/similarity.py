@@ -303,7 +303,7 @@ def ANN_LSH_SQL(
 # IVF (inverted-file) ANN
 # ---------------------------------------------------------------------------
 
-IVF_STEP = 17       # centroid picking stride (vec_id % STEP == 0)
+IVF_CENTROIDS = 64  # FIXED centroid count — constant at any table size
 IVF_NPROBE = 4      # probe the nprobe nearest centroid lists
 
 
@@ -314,7 +314,9 @@ def ivf_assignments(
 ) -> DataFrame:
     """Rank centroids per vector by quantized cosine (ties → smaller
     centroid id); keep ranks ≤ nprobe. Input frames must be ``_prep``'d
-    with prefixes v_/c_. Returns (v_id, v_vec, v_n2, c_id, probe_rank)."""
+    with prefixes v_/c_. Returns (v_id, v_vec, v_n2, ivf_cell,
+    probe_rank). Used for the (small) QUERY side where nprobe > 1;
+    the full-table list assignment uses ``ivf_assign_lists``."""
     pairs = vectors.crossJoin(F.broadcast(centroids))
     sim = cos_q(dot_int(F.col("v_vec"), F.col("c_vec")), F.col("v_n2"), F.col("c_n2"))
     w = Window.partitionBy("v_id").orderBy(F.desc("_csim"), F.asc("c_id"))
@@ -326,6 +328,33 @@ def ivf_assignments(
     )
 
 
+def ivf_assign_lists(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment for the FULL vector table — the
+    100 TB path: broadcast the fixed-size centroid set, score n·|C|
+    rows, and reduce with a ``max_by`` aggregate (map-side partial
+    combine, ONE shuffle on v_id, no window materializing all n·|C|
+    ranked pairs). Ties → smaller centroid id, identical to the
+    row_number ordering the oracle replicates."""
+    pairs = vectors.crossJoin(F.broadcast(centroids))
+    sim = cos_q(dot_int(F.col("v_vec"), F.col("c_vec")), F.col("v_n2"), F.col("c_n2"))
+    best = (
+        pairs.withColumn("_csim", sim)
+        .groupBy("v_id")
+        .agg(
+            F.max_by(
+                F.struct("v_vec", "v_n2", "c_id"),
+                F.struct(F.col("_csim"), (-F.col("c_id")).alias("_nc")),
+            ).alias("_b")
+        )
+    )
+    return best.select(
+        "v_id",
+        F.col("_b.v_vec").alias("v_vec"),
+        F.col("_b.v_n2").alias("v_n2"),
+        F.col("_b.c_id").alias("ivf_cell"),
+    )
+
+
 def ann_ivf_topk(
     queries: DataFrame,
     vectors: DataFrame,
@@ -333,23 +362,26 @@ def ann_ivf_topk(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    step: int = IVF_STEP,
+    n_centroids: int = IVF_CENTROIDS,
     nprobe: int = IVF_NPROBE,
     exclude_self: bool = True,
 ) -> DataFrame:
     """IVF ANN: every vector lives in the list of its nearest centroid;
     a query probes its ``nprobe`` nearest centroid lists and ranks the
-    candidates exactly. Centroids are picked deterministically
-    (vec_id % step == 0) — the training-free stand-in for k-means in
-    this sandbox; swap the centroid frame for trained centroids on a
-    real pipeline. All arithmetic is integer-quantized → the DuckDB
-    oracle replicates the algorithm exactly."""
+    candidates exactly. Centroids are a FIXED-SIZE deterministic set
+    (the first ``n_centroids`` vector ids — the training-free stand-in
+    for a k-means table in this sandbox; swap the centroid frame for
+    trained centroids on a real pipeline). Constant |C| keeps the
+    assignment O(n·|C|) with a broadcastable build side at any table
+    size (a data-proportional centroid set would make it O(n²)). All
+    arithmetic is integer-quantized → the DuckDB oracle replicates the
+    algorithm exactly."""
     cents = _prep(
-        vectors.filter(F.pmod(F.col(id_col), step) == 0), id_col, vec_col, "c_"
+        vectors.filter(F.col(id_col) < n_centroids), id_col, vec_col, "c_"
     )
     v = _prep(vectors, id_col, vec_col, "v_")
     q = _prep(queries, id_col, vec_col, "v_")
-    lists = ivf_assignments(v, cents, nprobe=1).drop("probe_rank")
+    lists = ivf_assign_lists(v, cents)
     probes = ivf_assignments(q, cents, nprobe=nprobe).select(
         F.col("v_id").alias("q_id"),
         F.col("v_vec").alias("q_vec"),
@@ -379,7 +411,7 @@ def ANN_IVF_SQL(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     table: str = "embeddings",
-    step: int = IVF_STEP,
+    n_centroids: int = IVF_CENTROIDS,
     nprobe: int = IVF_NPROBE,
     exclude_self: bool = True,
 ) -> str:
@@ -389,7 +421,7 @@ def ANN_IVF_SQL(
             SELECT {id_col} AS vid, {qv} AS vec, {DOT_INT_SQL(qv, qv)} AS n2
             FROM {table}
         ),
-        cents AS (SELECT vid AS cid, vec AS cvec, n2 AS cn2 FROM base WHERE vid % {step} = 0),
+        cents AS (SELECT vid AS cid, vec AS cvec, n2 AS cn2 FROM base WHERE vid < {n_centroids}),
         ranked_assign AS (
             SELECT b.vid, b.vec, b.n2, c.cid,
                    row_number() OVER (

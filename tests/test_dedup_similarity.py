@@ -54,6 +54,29 @@ def test_ngram_jaccard_finds_planted_neardups(spark, docs):
     assert (0, 3) in got and (1, 3) in got
 
 
+def test_ngram_df_cap_bounds_hot_shingle_fanout(spark):
+    """One stop-phrase shingle shared by the whole corpus must not
+    create a quadratic candidate set: with the df-cap active, docs that
+    overlap ONLY in the hot shingle produce zero pairs, while a planted
+    near-dup pair sharing rare shingles is still found."""
+    hot = "the terms of service apply"  # 3-shingles shared by ALL docs
+    rows = [(i, f"{hot} unique tail {i} token{i * 13} token{i * 29}") for i in range(120)]
+    # planted near-dup pair with rare shared shingles
+    rows.append((500, "rare alpine meadow crossing with seven marmots whistling loudly"))
+    rows.append((501, "rare alpine meadow crossing with seven marmots whistling softly"))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    capped = dedup.ngram_jaccard_pairs(docs, threshold_q=500000, max_df=20).toPandas()
+    got = {(a, b) for a, b in zip(capped.doc_a, capped.doc_b)}
+    assert (500, 501) in got
+    # the 120 hot-only docs share nothing after the cap → no pair blowup
+    assert all(a >= 500 for a, _ in got), got
+    # uncapped control: the hot shingle alone pulls every doc pair into
+    # the candidate join (the 100 TB failure mode this cap removes)
+    uncapped = dedup.ngram_jaccard_pairs(docs, threshold_q=1, max_df=10**9)
+    assert uncapped.count() > 5000
+
+
 def test_minhash_lsh_equals_bruteforce_on_fixture(spark, docs):
     """LSH candidates + exact refine == full exact pairs at this scale
     (recall 1 here; the oracle gate enforces algorithm parity)."""
@@ -112,7 +135,7 @@ def test_quantization_is_float32_exact():
 def test_ann_ivf_recall_and_planted_neighbor(spark, vectors):
     q = vectors.filter(F.col("vec_id") < 20)
     exact = similarity.cosine_topk(q, vectors, k=1).toPandas()
-    ivf = similarity.ann_ivf_topk(q, vectors, k=1, step=11, nprobe=4).toPandas()
+    ivf = similarity.ann_ivf_topk(q, vectors, k=1, n_centroids=24, nprobe=4).toPandas()
     e = dict(zip(exact.query_id, exact.neighbor_id))
     a = dict(zip(ivf.query_id, ivf.neighbor_id))
     # the planted near-identical vector shares its centroid list

@@ -52,8 +52,70 @@ def test_ring_knn_equals_exact(spark):
     }
     assert rings == exact
     assert len(exact) == 25 * 5
-    # sanity on the guarantee the params promise
-    assert K.min_ring_guarantee_km(2, 4) > 400
+    # sanity on the guarantee the params promise at the equator
+    assert K.min_ring_guarantee_km(2, 4) > 250
+
+
+def test_guarantee_shrinks_with_latitude_and_near_antimeridian(spark):
+    """The per-query certificate must scale with cos(lat) — the flat
+    111 km/deg conversion over-certified above ~65° — and vanish near
+    the poles / antimeridian where the degree-space disk under-covers."""
+    qs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": [0, 1, 2, 3, 4],
+                "q_lat": [0.0, 60.0, 85.0, 89.5, 0.0],
+                "q_lon": [0.0, 0.0, 0.0, 0.0, 179.5],
+            }
+        )
+    )
+    g = qs.select(
+        "query_id", K.ring_guarantee_km(F.col("q_lat"), F.col("q_lon"), 2, 4).alias("g")
+    )
+    got = {r.query_id: r.g for r in g.collect()}
+    assert got[0] > got[1] > got[2] > 0
+    assert got[1] < got[0] * 0.6  # cos(60°+g) scaling bites
+    assert got[3] == 0.0  # near-pole: never certified
+    assert got[4] == 0.0  # near-antimeridian: never certified
+
+
+def test_safe_knn_exact_at_extreme_latitudes(spark):
+    """Queries at ±85° with points clustered across cell boundaries:
+    the old flat-km certificate could wrongly certify here; the
+    cos-scaled one must fall back to exact and match it."""
+    rng = np.random.default_rng(77)
+    n = 3000
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "point_id": np.arange(n),
+                # half the points crowded into the polar caps
+                "lat": np.concatenate(
+                    [rng.uniform(75, 90, n // 2), rng.uniform(-90, -75, n - n // 2)]
+                ),
+                "lon": rng.uniform(-180, 180, n),
+            }
+        )
+    )
+    qs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": np.arange(12),
+                "q_lat": np.concatenate([rng.uniform(80, 89, 6), rng.uniform(-89, -80, 6)]),
+                "q_lon": rng.uniform(-179, 179, 12),
+            }
+        )
+    )
+    exact = {
+        (r.query_id, r.point_id, r.knn_rank)
+        for r in K.knn_join_exact(qs, pts, 5).select("query_id", "point_id", "knn_rank").collect()
+    }
+    safe = {
+        (r.query_id, r.point_id, r.knn_rank)
+        for r in K.knn_join_safe(qs, pts, 5, res=2, rings=4)
+        .select("query_id", "point_id", "knn_rank").collect()
+    }
+    assert safe == exact
 
 
 def test_knn_ranks_are_distance_ordered(spark):
