@@ -172,6 +172,28 @@ def q_json_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 MapType gate: build a real map<string,string> column with
+    from_json (the ingest schema's tags shape, xml_ingest.py tag-map
+    fold) and filter with map_contains_key + element_at — so MapType
+    construction and key semantics themselves are cross-engine
+    verified, not just JSON-string lookups (q_json_lookup)."""
+    ev = load(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,string>")
+    tagged = ev.withColumn("m", m)
+    return (
+        tagged.filter(
+            F.map_contains_key(F.col("m"), "k")
+            & F.element_at(F.col("m"), "k").startswith("2")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.max(F.element_at(F.col("m"), "k")).alias("max_v"),
+        )
+    )
+
+
 def q_key_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B6: parent-child key join + money rollup (decimal-exact sums)."""
     orders = load(spark, sf_dir, "orders")
@@ -317,14 +339,16 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.ann_ivf_topk(queries, emb, k=10)
 
 
-def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal roundtrip: synthesize FKIM image blobs from phash
-    (Arrow mapInPandas encode), decode them back (mapInPandas decode),
-    emit integer pixel stats. The oracle reproduces the stats in
-    closed form from phash — so a mismatch anywhere in the binary
-    encode→store→decode path fails the gate."""
+def _orders_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(image_id, bytes, phash) FKIM blobs synthesized from the orders
+    phash rule via Arrow mapInPandas — the shared front half of the
+    multimodal gates (real binary encode path, 8×8, fraw/fjpg by key
+    parity)."""
     import numpy as np
     import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType, LongType, StringType, StructField, StructType,
+    )
 
     from changesetmd_spark import synth
 
@@ -337,11 +361,6 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.pmod(k * 104729 + 42, F.lit(2147483648))
         ).alias("phash"),
         F.when(F.pmod(k, 2) == 0, "fraw").otherwise("fjpg").alias("fmt"),
-        F.pmod(k, 2).alias("parity"),
-    )
-
-    from pyspark.sql.types import (
-        BinaryType, LongType, StringType, StructField, StructType,
     )
 
     enc_schema = StructType(
@@ -362,7 +381,16 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"image_id": pdf["image_id"], "bytes": blobs, "phash": pdf["phash"]}
             )
 
-    images = base.mapInPandas(encode, enc_schema)
+    return base.mapInPandas(encode, enc_schema)
+
+
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal roundtrip: synthesize FKIM image blobs from phash
+    (Arrow mapInPandas encode), decode them back (mapInPandas decode),
+    emit integer pixel stats. The oracle reproduces the stats in
+    closed form from phash — so a mismatch anywhere in the binary
+    encode→store→decode path fails the gate."""
+    images = _orders_images(spark, sf_dir)
     stats = multimodal.decode_stats(images)
     return stats.select(
         "image_id",
@@ -373,6 +401,55 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pixel_min").cast("long").alias("pixel_min"),
         F.col("pixel_max").cast("long").alias("pixel_max"),
     )
+
+
+def q_image_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal → ANN bridge gate: encode blobs from phash, decode,
+    project pixels through the fixed ±1 embedding matrix
+    (multimodal.feature_embed — the vision-model stand-in), emit probe
+    dimensions. The oracle recomputes the same projections in closed
+    form from the phash pixel rule with the sign matrix baked as SQL
+    literals — so decode → embed is cross-engine verified end-to-end."""
+    images = _orders_images(spark, sf_dir)
+    emb = multimodal.feature_embed(images)
+    probes = [
+        # ×2^15 undoes the op's exact power-of-two scale → raw int sums
+        (F.element_at(F.col("embedding"), j + 1) * multimodal.EMBED_SCALE)
+        .cast("long")
+        .alias(f"e{j}")
+        for j in _EMBED_PROBE_DIMS
+    ]
+    return emb.select("image_id", *probes)
+
+
+_EMBED_PROBE_DIMS = (0, 1, 2, 3, 63)
+
+
+def _image_embed_oracle() -> str:
+    from .operators.multimodal import embed_sign
+
+    cols = []
+    for j in _EMBED_PROBE_DIMS:
+        signs = ", ".join(str(embed_sign(j, k)) for k in range(192))
+        cols.append(f"CAST(SUM(v * ([{signs}])[k]) AS BIGINT) AS e{j}")
+    return f"""
+        WITH ph AS (
+            SELECT 'img' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS image_id,
+                   ((o_orderkey * 2654435761 % 4294967296) * 2147483648
+                    + (o_orderkey * 104729 + 42) % 2147483648) AS phash,
+                   o_orderkey % 2 AS parity
+            FROM orders
+        ),
+        px AS (
+            SELECT image_id, k,
+                   CASE WHEN parity = 1
+                        THEN ((phash + k * 2654435761) % 256) - ((phash + k * 2654435761) % 256) % 4
+                        ELSE (phash + k * 2654435761) % 256 END AS v
+            FROM ph, (SELECT unnest(generate_series(1, 192)) AS k)
+        )
+        SELECT image_id, {", ".join(cols)}
+        FROM px GROUP BY image_id
+    """
 
 
 def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -570,6 +647,14 @@ ORACLES: dict[str, str] = {
           AND json_extract_string(props, '$.k') LIKE '1%'
         GROUP BY event_type
     """,
+    "map_lookup": """
+        SELECT event_type, count(*) AS n,
+               max(json_extract_string(props, '$.k')) AS max_v
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+          AND json_extract_string(props, '$.k') LIKE '2%'
+        GROUP BY event_type
+    """,
     "key_join_rollup": """
         SELECT o_orderpriority, count(*) AS n_items,
                CAST(SUM((CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
@@ -680,6 +765,7 @@ ORACLES: dict[str, str] = {
                CAST(max(v) AS BIGINT) AS pixel_max
         FROM px GROUP BY image_id, fmt
     """,
+    "image_embed": _image_embed_oracle(),
     "event_windows": """
         SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 900) * 900 AS BIGINT) AS window_start,
                event_type, count(*) AS n,
@@ -758,6 +844,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spatial_salted": q_spatial_salted,
     "count_filter": q_count_filter,
     "json_lookup": q_json_lookup,
+    "map_lookup": q_map_lookup,
     "key_join_rollup": q_key_join_rollup,
     "time_range": q_time_range,
     "area_filter": q_area_filter,
@@ -773,6 +860,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "image_decode": q_image_decode,
+    "image_embed": q_image_embed,
     "event_windows": q_event_windows,
     "sessionize": q_sessionize,
     "topk_per_group": q_topk_per_group,

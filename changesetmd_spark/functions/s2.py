@@ -47,8 +47,13 @@ def _latlng_to_xyz(lat_deg: np.ndarray, lon_deg: np.ndarray):
 
 def _xyz_to_face_uv(x: np.ndarray, y: np.ndarray, z: np.ndarray):
     ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
-    # largest |component| picks the cube face axis
-    face = np.where(ax >= ay, np.where(ax >= az, 0, 2), np.where(ay >= az, 1, 2))
+    # largest |component| picks the cube face axis — strict > exactly
+    # like S2's LargestAbsComponent (ties fall through to z, then y):
+    # boundary points such as lat=45°,lon=0 (|x| == |z|) must land on
+    # the same face as the canonical library or ids diverge there
+    face = np.where(
+        ax > ay, np.where(ax > az, 0, 2), np.where(ay > az, 1, 2)
+    )
     comp = np.choose(face, [x, y, z])
     face = np.where(comp < 0, face + 3, face).astype(np.int64)
     # standard S2 face frames (S2::FaceXYZtoUV)

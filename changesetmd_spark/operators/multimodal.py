@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
     IntegerType,
@@ -119,22 +120,65 @@ def resize(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return images.select("image_id", "bytes").mapInPandas(run, RESIZE_SCHEMA)
 
 
+EMBED_DIM = 64        # matches operators.similarity.DIM → ANN-ready
+EMBED_FOLD = 1024     # pixel index folds mod this into the projection
+EMBED_SCALE = 32768.0  # 2^15: exact in doubles; keeps the quantized
+                       # int64 ANN arithmetic overflow-free (ANSI mode)
+
 EMBED_SCHEMA = StructType(
     [
         StructField("image_id", StringType(), False),
-        StructField("embedding", StringType(), True),  # placeholder, see below
+        StructField("embedding", ArrayType(DoubleType(), False), False),
     ]
 )
 
 
-def feature_embed(images: DataFrame) -> DataFrame:  # pragma: no cover - stub
-    """Visual-embedding extraction — STUB. A real pipeline plugs a
-    model server / ONNX runtime into the same mapInPandas shape as
-    decode_stats. Raises until such a backend exists here."""
-    raise NotImplementedError(
-        "no vision model runtime in this environment; wire an ONNX/torch "
-        "backend into the decode_stats mapInPandas pattern"
-    )
+def embed_sign(j: int, k: int) -> int:
+    """Deterministic ±1 projection-matrix entry (md5-seeded, same
+    construction as similarity.plane_sign) — baked as literals into
+    the oracle SQL so both engines share the matrix by construction."""
+    import hashlib
+
+    h = hashlib.md5(f"emb{j},px{k}".encode()).digest()
+    return 1 if h[0] % 2 == 0 else -1
+
+
+def _embed_matrix() -> np.ndarray:
+    return np.array(
+        [[embed_sign(j, k) for j in range(EMBED_DIM)] for k in range(EMBED_FOLD)],
+        dtype=np.int64,
+    )  # (EMBED_FOLD, EMBED_DIM)
+
+
+def feature_embed(images: DataFrame) -> DataFrame:
+    """Visual-embedding extraction: decode → fixed random-projection
+    (±1 signs, md5-seeded) of the pixel vector into EMBED_DIM ints —
+    the deterministic, dependency-free stand-in for a vision model; a
+    real pipeline swaps the matmul for an ONNX/torch forward pass in
+    this exact mapInPandas shape. Output feeds the ANN family directly
+    (similarity._prep quantizes integer-valued doubles exactly), so
+    decode → embed → ANN is a real end-to-end path.
+
+    e_j = (Σ_k sign(j, k mod EMBED_FOLD) · px[k]) / 2^15 — the sum is
+    exact int64, the 2^15 scale is exact in doubles (so e_j·2^15 is a
+    lossless round-trip for oracles) and keeps downstream quantized
+    int64 dot products overflow-free under ANSI mode. One numpy matmul
+    per image, Arrow-batched, payload never leaves the stage (output
+    is EMBED_DIM doubles per row)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        M = _embed_matrix()
+        for pdf in batches:
+            ids, embs = [], []
+            for image_id, blob in zip(pdf["image_id"], pdf["bytes"]):
+                fmt, w, h, px = decode_blob(bytes(blob))
+                proj = M[np.arange(px.shape[0]) % EMBED_FOLD]  # (L, DIM)
+                e = px.astype(np.int64) @ proj  # exact int64
+                ids.append(image_id)
+                embs.append(e.astype(np.float64) / EMBED_SCALE)
+            yield pd.DataFrame({"image_id": ids, "embedding": embs})
+
+    return images.select("image_id", "bytes").mapInPandas(run, EMBED_SCHEMA)
 
 
 def psnr_db(a: np.ndarray, b: np.ndarray) -> float:

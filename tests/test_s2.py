@@ -75,15 +75,155 @@ def test_inverse_roundtrip_containment():
 
 
 def test_golden_values_pinned():
-    """Regression pins for seed inputs (values from THIS implementation,
-    frozen 2026-08-16; any change to the math must be deliberate)."""
-    lat = np.array([0.0, 48.8566, -33.8688, 90.0])
-    lon = np.array([0.0, 2.3522, 151.2093, 0.0])
-    got = s2.s2_cell_np(lat, lon, 12).tolist()
-    pinned = s2.s2_cell_np(lat, lon, 12).tolist()  # self-consistency
-    assert got == pinned
-    # distinctness + determinism across calls
-    assert len(set(got)) == 4
+    """Regression pins (literals frozen 2026-08-16): these int64 ids
+    are persisted-partition-key material — any change to the cell math
+    shows up here as a loud failure and must be deliberate."""
+    lat = np.array([0.0, 48.8566, -33.8688, 90.0, 45.0, -45.0])
+    lon = np.array([0.0, 2.3522, 151.2093, 0.0, 0.0, 90.0])
+    assert s2.s2_cell_np(lat, lon, 12).tolist() == [
+        1152921573326323712,
+        5180949436334866432,
+        7715420632820744192,
+        5764607591753711616,
+        1345075111614480384,
+        2882303830236594176,
+    ]
+    assert s2.s2_cell_np(lat, lon, 30).tolist() == [
+        1152921504606846977,
+        5180949494577750587,
+        7715420701375135829,
+        5764607523034234881,
+        1345075088707988139,
+        2882303761517117441,
+    ]
+
+
+def test_canonical_face_and_center_ids():
+    """Values derivable from the PUBLISHED S2 encoding (s2geometry
+    docs), not from this implementation: a level-0 face cell id is
+    (2·face+1)·2^60, and the leaf at a face center is
+    face·2^61 + 2^60 + 1 — e.g. FromLatLng(0,0) = 0x1000000000000001,
+    the id cited in the S2 docs. The ids for faces 4–5 exceed 2^63 and
+    reinterpret negative in int64 (documented in s2.py)."""
+    centers = [  # (lat, lon) of each cube-face center, face order 0..5
+        (0.0, 0.0), (0.0, 90.0), (90.0, 0.0),
+        (0.0, 180.0), (0.0, -90.0), (-90.0, 0.0),
+    ]
+    lat = np.array([c[0] for c in centers])
+    lon = np.array([c[1] for c in centers])
+    got0 = s2.s2_cell_np(lat, lon, 0).view(np.uint64)
+    want0 = np.array([(2 * f + 1) << 60 for f in range(6)], dtype=np.uint64)
+    assert (got0 == want0).all()
+    got30 = s2.s2_cell_np(lat, lon, 30).view(np.uint64)
+    for f in (0, 1, 2, 4, 5):
+        assert got30[f] == np.uint64((f << 61) + (1 << 60) + 1), f
+    assert got30[0] == np.uint64(0x1000000000000001)
+    # face 3: IEEE sin(π) ≠ 0, so (0°,180°) is one ulp off the exact
+    # face center — the canonical C++ library runs the same float path
+    # and lands on the leaf just below center, same as here
+    assert got30[3] in (
+        np.uint64(0x7000000000000001),  # exact center (if trig were exact)
+        np.uint64(0x6FFFFFFFFFFFFFFF),  # leaf just below center (IEEE)
+    )
+
+
+# --- independent scalar re-derivation of the published algorithm ---------
+# written from the s2geometry documentation with its own table literals;
+# structural divergence from the vectorized implementation in s2.py makes
+# shared-bug survival unlikely.
+
+_POS_TO_IJ = ((0, 1, 3, 2), (0, 2, 3, 1), (3, 2, 0, 1), (3, 1, 0, 2))
+_POS_TO_ORIENT = (1, 0, 0, 3)  # swap, 0, 0, swap|invert
+_IJ_TO_POS = tuple(
+    tuple(_POS_TO_IJ[o].index(ij) for ij in range(4)) for o in range(4)
+)
+
+
+def _slow_cell(lat_deg: float, lon_deg: float, level: int) -> int:
+    import math
+
+    phi, lam = math.radians(max(-90.0, min(90.0, lat_deg))), math.radians(lon_deg)
+    x = math.cos(phi) * math.cos(lam)
+    y = math.cos(phi) * math.sin(lam)
+    z = math.sin(phi)
+    ax, ay, az = abs(x), abs(y), abs(z)
+    if ax > ay:
+        face = 0 if ax > az else 2
+    else:
+        face = 1 if ay > az else 2
+    if (x, y, z)[face] < 0:
+        face += 3
+    if face == 0:
+        u, v = y / x, z / x
+    elif face == 1:
+        u, v = -x / y, z / y
+    elif face == 2:
+        u, v = -x / z, -y / z
+    elif face == 3:
+        u, v = z / x, y / x
+    elif face == 4:
+        u, v = z / y, -x / y
+    else:
+        u, v = -y / z, -x / z
+
+    def st(w: float) -> float:
+        if w >= 0:
+            return 0.5 * math.sqrt(1.0 + 3.0 * w)
+        return 1.0 - 0.5 * math.sqrt(1.0 - 3.0 * w)
+
+    def ij(s: float) -> int:
+        return max(0, min((1 << 30) - 1, math.floor(s * (1 << 30))))
+
+    i, j = ij(st(u)), ij(st(v))
+    orient = face & 1
+    pos = 0
+    for k in range(29, -1, -1):
+        q = 2 * ((i >> k) & 1) + ((j >> k) & 1)
+        p = _IJ_TO_POS[orient][q]
+        pos = (pos << 2) | p
+        orient ^= _POS_TO_ORIENT[p]
+    cid = (face << 61) | (pos << 1) | 1
+    lsb = 1 << (2 * (30 - level))
+    return (cid & ~(lsb - 1)) | lsb
+
+
+def test_vectorized_matches_independent_scalar_derivation():
+    rng = np.random.default_rng(17)
+    lat = rng.uniform(-90, 90, 400)
+    lon = rng.uniform(-180, 180, 400)
+    # include face boundaries / tie points explicitly
+    lat = np.concatenate([lat, [45.0, -45.0, 0.0, 90.0, -90.0, 35.26438968]])
+    lon = np.concatenate([lon, [0.0, 90.0, 45.0, 13.0, -77.0, 45.0]])
+    for level in (0, 5, 12, 30):
+        got = s2.s2_cell_np(lat, lon, level).view(np.uint64)
+        want = np.array(
+            [_slow_cell(a, o, level) for a, o in zip(lat, lon)], dtype=np.uint64
+        )
+        assert (got == want).all(), f"level {level}"
+
+
+def _pos_to_ij(face: int, pos: int):
+    orient = face & 1
+    i = j = 0
+    for k in range(29, -1, -1):
+        p = (pos >> (2 * k)) & 3
+        q = _POS_TO_IJ[orient][p]
+        i = (i << 1) | (q >> 1)
+        j = (j << 1) | (q & 1)
+        orient ^= _POS_TO_ORIENT[p]
+    return i, j
+
+
+def test_hilbert_curve_continuity():
+    """Published property of the S2 Hilbert traversal: consecutive
+    curve positions are EDGE-adjacent leaf cells (|Δi|+|Δj| == 1).
+    Any wrong entry in the traversal tables breaks this immediately."""
+    rng = np.random.default_rng(23)
+    for face in range(6):
+        for pos in rng.integers(0, (1 << 60) - 1, 200, dtype=np.uint64):
+            i0, j0 = _pos_to_ij(face, int(pos))
+            i1, j1 = _pos_to_ij(face, int(pos) + 1)
+            assert abs(i1 - i0) + abs(j1 - j0) == 1
 
 
 def test_pandas_udf_matches_numpy(spark):

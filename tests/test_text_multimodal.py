@@ -88,6 +88,66 @@ def test_resize_shape_and_determinism(spark):
     assert {r.image_id: bytes(r.bytes) for r in rows} == again
 
 
+def test_feature_embed_closed_form_and_determinism(spark):
+    """The embedding is the exact ±1 projection of the decoded pixels:
+    verify against a numpy recomputation from phash, and identical
+    payloads → identical embeddings."""
+    images = synth.images(spark, 40, width=8, height=8)
+    emb = {r.image_id: np.array(r.embedding) for r in multimodal.feature_embed(images).collect()}
+    meta = {r.image_id: (r.phash, r.fmt) for r in images.select("image_id", "phash", "fmt").collect()}
+    M = multimodal._embed_matrix()
+    for iid, (ph, fmt) in meta.items():
+        px = synth.pixels_for_phash(np.array([ph]), 8, 8)[0]
+        if fmt == "fjpg":
+            px = px & 0xFC
+        want = (
+            px.astype(np.int64) @ M[np.arange(px.shape[0]) % multimodal.EMBED_FOLD]
+        ) / multimodal.EMBED_SCALE
+        assert (emb[iid] == want).all()
+        assert emb[iid].shape == (multimodal.EMBED_DIM,)
+
+
+def test_decode_embed_ann_end_to_end(spark):
+    """decode → embed → ANN as one pipeline: byte-identical duplicate
+    images land as exact embedding near-dups; ANN top-1 finds each
+    planted duplicate."""
+    from changesetmd_spark.operators import similarity
+
+    base = synth.images(spark, 60, width=8, height=8).select("image_id", "bytes", "phash")
+    # plant 3 byte-identical duplicates under new ids
+    dups = (
+        base.filter(F.col("phash") % 3 == 0).limit(3)
+        .select(F.concat(F.lit("dup_"), "image_id").alias("image_id"), "bytes", "phash")
+    )
+    images = base.unionByName(dups)
+    emb = multimodal.feature_embed(images).withColumn(
+        "vec_id",
+        F.when(F.col("image_id").startswith("dup_"), F.lit(0)).otherwise(F.lit(1000)),
+    )
+    # stable integer ids for the ANN operator (hash of image_id)
+    emb = emb.select(
+        F.conv(F.substring(F.md5("image_id"), 1, 8), 16, 10).cast("long").alias("vec_id"),
+        "image_id",
+        "embedding",
+    )
+    dup_ids = {
+        (r.image_id, r.vec_id)
+        for r in emb.filter(F.col("image_id").startswith("dup_")).collect()
+    }
+    assert len(dup_ids) == 3
+    orig_of = {
+        r.vec_id: r.image_id for r in emb.collect()
+    }
+    queries = emb.filter(F.col("image_id").startswith("dup_")).drop("image_id")
+    out = similarity.ann_lsh_topk(queries, emb.drop("image_id"), k=1).collect()
+    assert len(out) == 3
+    for r in out:
+        dup_name = [n for n, v in dup_ids if v == r.query_id][0]
+        # top-1 neighbor is the byte-identical original (cos == 1.0)
+        assert orig_of[r.neighbor_id] == dup_name.removeprefix("dup_")
+        assert r.cos_sim_q == 1_000_000
+
+
 def test_decode_rejects_unknown_codec():
     with pytest.raises(NotImplementedError):
         multimodal.decode_blob(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)
