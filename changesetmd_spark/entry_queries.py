@@ -422,6 +422,85 @@ def q_image_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("image_id", *probes)
 
 
+AUDIO_N_SAMPLES = 480
+AUDIO_SR = 16000
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio multimodal gate: synthesize FKAU PCM blobs from the orders
+    phash rule (Arrow mapInPandas encode), decode via audio_stats, emit
+    integer waveform features. The oracle recomputes energy / peak /
+    zero-crossings in closed form from the sample rule — the binary
+    encode→store→decode audio path is cross-engine verified."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from changesetmd_spark import synth
+
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = orders.select(
+        F.format_string("au%012d", k).alias("audio_id"),
+        (
+            F.pmod(k * 2654435761, F.lit(4294967296)) * F.lit(2147483648)
+            + F.pmod(k * 104729 + 42, F.lit(2147483648))
+        ).alias("phash"),
+    )
+    enc_schema = StructType(
+        [
+            StructField("audio_id", StringType(), False),
+            StructField("bytes", BinaryType(), False),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            # seed with phash mod 2^32: keeps the oracle's BIGINT
+            # arithmetic overflow-free for ANY phash (full phash can
+            # sit within k·2654435761 of 2^63)
+            seeds = pdf["phash"].to_numpy().astype(np.uint64) % np.uint64(4294967296)
+            blobs = synth.encode_audio(seeds, AUDIO_N_SAMPLES, AUDIO_SR)
+            yield pd.DataFrame({"audio_id": pdf["audio_id"], "bytes": blobs})
+
+    stats = multimodal.audio_stats(base.mapInPandas(encode, enc_schema))
+    return stats.select(
+        "audio_id",
+        F.col("duration_ms"),
+        F.col("energy"),
+        F.col("peak").cast("long").alias("peak"),
+        F.col("zero_crossings"),
+    )
+
+
+AUDIO_FEATURES_SQL = f"""
+    WITH ph AS (
+        SELECT 'au' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS audio_id,
+               ((o_orderkey * 2654435761 % 4294967296) * 2147483648
+                + (o_orderkey * 104729 + 42) % 2147483648) AS phash
+        FROM orders
+    ),
+    pcm AS (
+        SELECT audio_id, k,
+               (((phash % 4294967296) + k * 2654435761) % 65536) - 32768 AS s
+        FROM ph, (SELECT unnest(generate_series(1, {AUDIO_N_SAMPLES})) AS k)
+    ),
+    zc AS (
+        SELECT audio_id, s,
+               CASE WHEN lag(s) OVER (PARTITION BY audio_id ORDER BY k) IS NOT NULL
+                    AND (s >= 0) != (lag(s) OVER (PARTITION BY audio_id ORDER BY k) >= 0)
+                    THEN 1 ELSE 0 END AS flip
+        FROM pcm
+    )
+    SELECT audio_id,
+           CAST({AUDIO_N_SAMPLES} * 1000 / {AUDIO_SR} AS BIGINT) AS duration_ms,
+           CAST(SUM(s * s) AS BIGINT) AS energy,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+           CAST(SUM(flip) AS BIGINT) AS zero_crossings
+    FROM zc GROUP BY audio_id
+"""
+
+
 _EMBED_PROBE_DIMS = (0, 1, 2, 3, 63)
 
 
@@ -766,6 +845,7 @@ ORACLES: dict[str, str] = {
         FROM px GROUP BY image_id, fmt
     """,
     "image_embed": _image_embed_oracle(),
+    "audio_features": AUDIO_FEATURES_SQL,
     "event_windows": """
         SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 900) * 900 AS BIGINT) AS window_start,
                event_type, count(*) AS n,
@@ -861,6 +941,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": q_ann_ivf,
     "image_decode": q_image_decode,
     "image_embed": q_image_embed,
+    "audio_features": q_audio_features,
     "event_windows": q_event_windows,
     "sessionize": q_sessionize,
     "topk_per_group": q_topk_per_group,

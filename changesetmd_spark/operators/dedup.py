@@ -126,11 +126,14 @@ def ngram_jaccard_pairs(
     Scale shape: the hot-shingle set is tiny BY CONSTRUCTION (each
     survivor of the HAVING > max_df filter represents > max_df rows),
     so it broadcasts; the cap itself is one map-side-combined groupBy.
+    The exploded index is materialized ONCE (localCheckpoint — slim
+    (id, sh) longs) and its four consumers (df-counts, sizes, both
+    self-join sides) read the stored blocks instead of re-running the
+    tokenize+shingle explode 4×; a durable pipeline at 100 TB writes
+    this index to storage between stages — same dataflow, swap the
+    checkpoint for a table write.
     """
-    # no .cache(): the shingle index is cheap column math; caching it
-    # across branches leaks executor memory over a long session and
-    # recompute is cheaper than the GC pressure (measured in bench)
-    sh_all = _exploded_shingle_hashes(docs, id_col, text_col)
+    sh_all = _exploded_shingle_hashes(docs, id_col, text_col).localCheckpoint()
     hot = (
         sh_all.groupBy("sh")
         .agg(F.count("*").alias("_df"))

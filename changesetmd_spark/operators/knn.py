@@ -150,16 +150,40 @@ def knn_join_safe(
         .withColumn("_cert", (F.col("_nk") >= k) & (F.col("_dk") <= guarantee))
     )
     safe_part = certed.filter(F.col("_cert")).drop("_nk", "_dk", "_cert")
-    unsafe_ids = certed.filter(~F.col("_cert")).select(q_id).distinct()
-    # queries with ZERO candidates never appear in ringed — anti join
-    no_cand = queries.join(ringed.select(q_id).distinct(), q_id, "left_anti").select(q_id)
-    unsafe_ids = unsafe_ids.unionByName(no_cand).distinct()
-
-    unsafe_queries = queries.join(F.broadcast(unsafe_ids), q_id, "left_semi")
-    exact_part = knn_join_exact(
-        unsafe_queries, points, k,
-        q_id=q_id, q_lat=q_lat, q_lon=q_lon, p_id=p_id, p_lat=p_lat, p_lon=p_lon,
+    # uncertified queries carry their ring k-th distance as a BAND: the
+    # ring candidates are a subset of all points, so the global k-th
+    # distance is ≤ _dk — every global top-k point satisfies
+    # |Δlat| ≤ _dk/111.19 (meridian arc lower-bounds haversine), and
+    # the exact fallback only scores points inside that band. Queries
+    # with < k ring candidates get no band (full scan — correct, rare).
+    unsafe_bands = (
+        certed.filter(~F.col("_cert"))
+        .groupBy(q_id)
+        .agg(
+            F.max(F.when(F.col("_nk") >= k, F.col("_dk") / F.lit(_KM_PER_DEG_LAT))).alias(
+                "_band_deg"
+            )
+        )
     )
+    # queries with ZERO candidates never appear in ringed — anti join
+    no_cand = (
+        queries.join(ringed.select(q_id).distinct(), q_id, "left_anti")
+        .select(q_id)
+        .withColumn("_band_deg", F.lit(None).cast("double"))
+    )
+    unsafe = unsafe_bands.unionByName(no_cand)
+
+    unsafe_queries = queries.join(F.broadcast(unsafe), q_id, "inner")
+    pairs = points.join(
+        F.broadcast(unsafe_queries),
+        F.col("_band_deg").isNull()
+        | (F.abs(F.col(p_lat) - F.col(q_lat)) <= F.col("_band_deg")),
+        "inner",
+    ).withColumn(
+        "dist_km",
+        geo.haversine_km(F.col(q_lat), F.col(q_lon), F.col(p_lat), F.col(p_lon)),
+    )
+    exact_part = _topk(pairs, q_id, p_id, k).drop("_band_deg")
     return safe_part.unionByName(exact_part.select(*safe_part.columns))
 
 

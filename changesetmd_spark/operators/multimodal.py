@@ -68,21 +68,65 @@ DECODE_STATS_SCHEMA = StructType(
 )
 
 
+def _shape_groups(blobs) -> dict[bytes, list[int]]:
+    """Group row indices by blob header (fmt, w, h, length) so each
+    group stacks into one (n, L) matrix — turning per-image Python
+    into a handful of vectorized numpy ops per Arrow batch."""
+    groups: dict[tuple, list[int]] = {}
+    for idx, blob in enumerate(blobs):
+        b = bytes(blob)
+        groups.setdefault((b[4:HEADER_LEN], len(b)), []).append(idx)
+    return groups
+
+
 def decode_stats(images: DataFrame) -> DataFrame:
     """Decode every blob, emit integer pixel statistics. The canonical
     decode-path verification: stats are exactly reproducible from
     phash by the closed-form pixel rule, so a SQL oracle can check the
-    full encode→store→decode roundtrip without touching bytes."""
+    full encode→store→decode roundtrip without touching bytes.
+
+    Vectorization: rows are grouped by shape within each Arrow batch
+    and decoded as one stacked (n, w·h·3) uint8 matrix — sum/min/max
+    are single numpy reductions, no per-image Python in the hot loop."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for image_id, blob in zip(pdf["image_id"], pdf["bytes"]):
-                fmt, w, h, px = decode_blob(bytes(blob))
-                out.append(
-                    (image_id, fmt, w, h, int(px.astype(np.int64).sum()), int(px.min()), int(px.max()))
+            ids = pdf["image_id"].to_numpy()
+            blobs = [bytes(b) for b in pdf["bytes"]]
+            for b in blobs:
+                if b[:4] != bytes(MAGIC):
+                    decode_blob(b)  # raises the NotImplementedError path
+            n = len(blobs)
+            fmt_out = np.empty(n, dtype=object)
+            w_out = np.zeros(n, dtype=np.int32)
+            h_out = np.zeros(n, dtype=np.int32)
+            s_out = np.zeros(n, dtype=np.int64)
+            mn_out = np.zeros(n, dtype=np.int32)
+            mx_out = np.zeros(n, dtype=np.int32)
+            for (hdr, _), idxs in _shape_groups(blobs).items():
+                fmt = FMT_NAMES[hdr[0]]
+                w = int.from_bytes(hdr[1:3], "big")
+                h = int.from_bytes(hdr[3:5], "big")
+                m = np.stack(
+                    [np.frombuffer(blobs[i], dtype=np.uint8, offset=HEADER_LEN) for i in idxs]
                 )
-            yield pd.DataFrame(out, columns=[f.name for f in DECODE_STATS_SCHEMA.fields])
+                ix = np.array(idxs)
+                fmt_out[ix] = fmt
+                w_out[ix], h_out[ix] = w, h
+                s_out[ix] = m.astype(np.int64).sum(axis=1)
+                mn_out[ix] = m.min(axis=1)
+                mx_out[ix] = m.max(axis=1)
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "fmt": fmt_out,
+                    "w": w_out,
+                    "h": h_out,
+                    "pixel_sum": s_out,
+                    "pixel_min": mn_out,
+                    "pixel_max": mx_out,
+                }
+            )
 
     return images.select("image_id", "bytes").mapInPandas(run, DECODE_STATS_SCHEMA)
 
@@ -169,16 +213,110 @@ def feature_embed(images: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         M = _embed_matrix()
         for pdf in batches:
-            ids, embs = [], []
-            for image_id, blob in zip(pdf["image_id"], pdf["bytes"]):
-                fmt, w, h, px = decode_blob(bytes(blob))
-                proj = M[np.arange(px.shape[0]) % EMBED_FOLD]  # (L, DIM)
-                e = px.astype(np.int64) @ proj  # exact int64
-                ids.append(image_id)
-                embs.append(e.astype(np.float64) / EMBED_SCALE)
-            yield pd.DataFrame({"image_id": ids, "embedding": embs})
+            ids = pdf["image_id"].to_numpy()
+            blobs = [bytes(b) for b in pdf["bytes"]]
+            for b in blobs:
+                if b[:4] != bytes(MAGIC):
+                    decode_blob(b)  # raises the NotImplementedError path
+            out = np.empty((len(blobs), EMBED_DIM), dtype=np.float64)
+            # stack same-shape rows → ONE (n, L) @ (L, DIM) matmul per
+            # shape group instead of a Python-level loop per image
+            for (_, blen), idxs in _shape_groups(blobs).items():
+                L = blen - HEADER_LEN
+                proj = M[np.arange(L) % EMBED_FOLD]  # (L, DIM)
+                m = np.stack(
+                    [np.frombuffer(blobs[i], dtype=np.uint8, offset=HEADER_LEN) for i in idxs]
+                ).astype(np.int64)
+                out[np.array(idxs)] = (m @ proj).astype(np.float64) / EMBED_SCALE
+            yield pd.DataFrame({"image_id": ids, "embedding": list(out)})
 
     return images.select("image_id", "bytes").mapInPandas(run, EMBED_SCHEMA)
+
+
+AUDIO_HEADER_LEN = 12  # 4 magic + 4 sample_rate + 4 n_samples
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("audio_id", StringType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("duration_ms", LongType(), False),
+        StructField("energy", LongType(), False),       # Σ s², exact int
+        StructField("peak", IntegerType(), False),      # max |s|
+        StructField("zero_crossings", LongType(), False),
+    ]
+)
+
+
+def decode_audio_blob(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """(sample_rate, n_samples, int16 samples) from a fake audio blob.
+    Real codecs (mp3/flac/wav via soundfile/ffmpeg) are absent in this
+    container; they slot into this exact contract."""
+    from ..synth import AUDIO_MAGIC
+
+    if blob[:4] != bytes(AUDIO_MAGIC):
+        raise NotImplementedError(
+            "real audio codecs are not available in this environment; "
+            "only the FKAU fake container is supported — swap this "
+            "branch for soundfile/ffmpeg on a real cluster"
+        )
+    sr = int.from_bytes(blob[4:8], "big")
+    n = int.from_bytes(blob[8:12], "big")
+    pcm = np.frombuffer(blob, dtype=">i2", offset=AUDIO_HEADER_LEN).astype(np.int16)
+    return sr, n, pcm
+
+
+def audio_stats(audio: DataFrame) -> DataFrame:
+    """Audio-column analog of decode_stats: decode every PCM blob and
+    emit integer waveform features (duration, energy Σs², peak,
+    zero-crossing count) — all exactly reproducible from phash, so
+    tests verify the full encode→store→decode path in closed form.
+    Same-shape rows stack into one (n, L) int32 matrix per Arrow batch;
+    reductions are single numpy ops, never per-sample Python."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["audio_id"].to_numpy()
+            blobs = [bytes(b) for b in pdf["bytes"]]
+            n = len(blobs)
+            sr_o = np.zeros(n, dtype=np.int32)
+            ns_o = np.zeros(n, dtype=np.int64)
+            dur_o = np.zeros(n, dtype=np.int64)
+            en_o = np.zeros(n, dtype=np.int64)
+            pk_o = np.zeros(n, dtype=np.int32)
+            zc_o = np.zeros(n, dtype=np.int64)
+            groups: dict[bytes, list[int]] = {}
+            for i, b in enumerate(blobs):
+                groups.setdefault(b[:AUDIO_HEADER_LEN], []).append(i)
+            for hdr, idxs in groups.items():
+                sr0, n0, _ = decode_audio_blob(blobs[idxs[0]])
+                m = np.stack(
+                    [
+                        np.frombuffer(blobs[i], dtype=">i2", offset=AUDIO_HEADER_LEN)
+                        for i in idxs
+                    ]
+                ).astype(np.int64)
+                ix = np.array(idxs)
+                sr_o[ix] = sr0
+                ns_o[ix] = n0
+                dur_o[ix] = n0 * 1000 // sr0
+                en_o[ix] = (m * m).sum(axis=1)
+                pk_o[ix] = np.abs(m).max(axis=1)
+                sign = m >= 0
+                zc_o[ix] = (sign[:, 1:] != sign[:, :-1]).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "audio_id": ids,
+                    "sample_rate": sr_o,
+                    "n_samples": ns_o,
+                    "duration_ms": dur_o,
+                    "energy": en_o,
+                    "peak": pk_o,
+                    "zero_crossings": zc_o,
+                }
+            )
+
+    return audio.select("audio_id", "bytes").mapInPandas(run, AUDIO_STATS_SCHEMA)
 
 
 def psnr_db(a: np.ndarray, b: np.ndarray) -> float:

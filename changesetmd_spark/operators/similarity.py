@@ -355,6 +355,81 @@ def ivf_assign_lists(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def _centroid_frame(spark, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """(c_id, c_vec, c_n2) frame from driver-side centroid vectors
+    (k rows — centroid sets are bounded and broadcast, like any
+    k-means implementation's cluster centers)."""
+    rows = [(cid, vec, sum(x * x for x in vec)) for cid, vec in cents]
+    return spark.createDataFrame(
+        rows, "c_id long, c_vec array<long>, c_n2 long"
+    )
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 16,
+    iters: int = 4,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means over quantized embeddings — the
+    trained-centroid source for ``ann_ivf_topk(centroids=...)``.
+
+    Per iteration: broadcast the k centroids, assign every vector to
+    its nearest (quantized-cosine ``max_by`` aggregate — one shuffle,
+    map-side combine, same shape as ``ivf_assign_lists``), then reduce
+    per-cluster per-dimension SUMS (posexplode → groupBy — k·DIM rows)
+    and recompute means on the driver (k·DIM longs — bounded by k, not
+    by data, exactly like any k-means keeps its centers driver-side).
+
+    Init is deterministic farthest-point (maximin): start from the
+    smallest id, then k−1 times add the vector with the lowest
+    max-cosine to the chosen set (ties → smaller id) — one bounded
+    aggregate per pick, and unlike first-k init it cannot drop two
+    seeds into one cluster of well-separated data. Quantized integer
+    arithmetic + floor-division means keep every run bit-identical;
+    empty clusters keep their previous center. Iterative ⇒ not
+    SQL-expressible; verified by convergence property tests."""
+    spark = vectors.sparkSession
+    v = _prep(vectors, id_col, vec_col, "v_")
+    first = v.orderBy("v_id").limit(1).collect()[0]
+    cents = [(0, [int(x) for x in first["v_vec"]])]
+    for nxt in range(1, k):
+        cdf = _centroid_frame(spark, cents)
+        sim = cos_q(dot_int(F.col("v_vec"), F.col("c_vec")), F.col("v_n2"), F.col("c_n2"))
+        far = (
+            v.crossJoin(F.broadcast(cdf))
+            .withColumn("_csim", sim)
+            .groupBy("v_id")
+            .agg(F.max("_csim").alias("_near"), F.any_value("v_vec").alias("_vec"))
+            .orderBy(F.asc("_near"), F.asc("v_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        cents.append((nxt, [int(x) for x in far["_vec"]]))
+    dim = len(cents[0][1])
+    for _ in range(iters):
+        cdf = _centroid_frame(spark, cents)
+        assigned = ivf_assign_lists(v, cdf)
+        stats = (
+            assigned.select("ivf_cell", F.posexplode("v_vec").alias("pos", "val"))
+            .groupBy("ivf_cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        sums: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for r in stats:
+            sums.setdefault(r.ivf_cell, [0] * dim)[r.pos] = r.s
+            counts[r.ivf_cell] = r.n
+        cents = [
+            (cid, [s // counts[cid] for s in sums[cid]]) if cid in counts else (cid, old)
+            for cid, old in cents
+        ]
+    return _centroid_frame(spark, cents)
+
+
 def ann_ivf_topk(
     queries: DataFrame,
     vectors: DataFrame,
@@ -365,6 +440,7 @@ def ann_ivf_topk(
     n_centroids: int = IVF_CENTROIDS,
     nprobe: int = IVF_NPROBE,
     exclude_self: bool = True,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: every vector lives in the list of its nearest centroid;
     a query probes its ``nprobe`` nearest centroid lists and ranks the
@@ -375,8 +451,10 @@ def ann_ivf_topk(
     assignment O(n·|C|) with a broadcastable build side at any table
     size (a data-proportional centroid set would make it O(n²)). All
     arithmetic is integer-quantized → the DuckDB oracle replicates the
-    algorithm exactly."""
-    cents = _prep(
+    algorithm exactly. Pass ``centroids`` (a ``kmeans_fit`` frame) to
+    use trained centers instead; the oracle gate covers the default
+    deterministic set (the trained path is iterative, property-tested)."""
+    cents = centroids if centroids is not None else _prep(
         vectors.filter(F.col(id_col) < n_centroids), id_col, vec_col, "c_"
     )
     v = _prep(vectors, id_col, vec_col, "v_")

@@ -25,17 +25,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def maybe_broadcast(df: DataFrame, *, hint: bool | None, row_threshold: int = 100_000) -> DataFrame:
-    """Apply a broadcast hint. ``hint=None`` probes cheaply: if the side
-    has ≤ ``row_threshold`` rows (checked via a limit-bounded count, not
-    a full count) it is broadcast. Explicit True/False skips the probe."""
-    if hint is False:
-        return df
-    if hint is None:
-        probe = df.select(F.lit(1)).limit(row_threshold + 1).count()
-        if probe > row_threshold:
-            return df
-    return F.broadcast(df)
+def maybe_broadcast(df: DataFrame, *, hint: bool | None) -> DataFrame:
+    """Apply a broadcast hint. ``hint=True`` forces the hint (caller
+    knows the side is small), ``hint=False`` forbids it (exercise the
+    shuffle path), ``hint=None`` leaves the plan unhinted so Catalyst's
+    size estimate + AQE's runtime statistics decide — deliberately NOT
+    a probe job: an eager count per join call costs a scheduling round
+    trip and AQE already re-plans to broadcast when the built side
+    turns out small."""
+    if hint is True:
+        return F.broadcast(df)
+    return df
 
 
 def salt_column(key: Column, buckets: int) -> Column:

@@ -29,6 +29,28 @@ MAGIC = b"FKIM"
 FMT_CODES = {"fraw": 0, "fjpg": 1}
 FMT_NAMES = {v: k for k, v in FMT_CODES.items()}
 
+# fake audio container (same role as FKIM for the audio column family):
+#   header  = b"FKAU" + sample_rate(4B big-endian) + n_samples(4B)
+#   payload = n_samples int16 big-endian PCM,
+#             sample[k] = ((phash + (k+1)·2654435761) mod 65536) − 32768
+AUDIO_MAGIC = b"FKAU"
+
+
+def samples_for_phash(phash: np.ndarray, n_samples: int) -> np.ndarray:
+    """(n, n_samples) int16 PCM payloads, pure function of phash."""
+    k = np.arange(1, n_samples + 1, dtype=np.uint64)
+    raw = (
+        phash.astype(np.uint64)[:, None] + k[None, :] * np.uint64(2654435761)
+    ) % np.uint64(65536)
+    return (raw.astype(np.int64) - 32768).astype(np.int16)
+
+
+def encode_audio(phash: np.ndarray, n_samples: int, sample_rate: int = 16000) -> list[bytes]:
+    """Vectorized fake audio encode for a batch."""
+    pcm = samples_for_phash(phash, n_samples)
+    header = AUDIO_MAGIC + sample_rate.to_bytes(4, "big") + n_samples.to_bytes(4, "big")
+    return [header + row.astype(">i2").tobytes() for row in pcm]
+
 # caption vocabulary — includes unicode + multi-line fragments to
 # mirror the reference fixture's comment_text edge cases
 # (changesets_testfile.osm: German umlauts, multi-line comments).

@@ -147,6 +147,55 @@ def test_ann_ivf_recall_and_planted_neighbor(spark, vectors):
     assert hits >= 10
 
 
+def test_kmeans_recovers_planted_blobs_and_boosts_ivf(spark):
+    """Lloyd's k-means on 4 well-separated Gaussian blobs must converge
+    to one centroid per blob (every blob purely assigned), and IVF with
+    the trained centroids must beat the naive first-k centroid set on
+    clustered data."""
+    rng = np.random.default_rng(3)
+    centers = rng.normal(scale=5.0, size=(4, 64))
+    n_per = 100
+    vecs, blob = [], []
+    for b in range(4):
+        vecs.append(centers[b] + rng.normal(scale=0.05, size=(n_per, 64)))
+        blob += [b] * n_per
+    v = np.concatenate(vecs).astype(np.float32)
+    order = rng.permutation(len(v))  # shuffle so init ids span blobs
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(v)), "embedding": [r.tolist() for r in v[order]]}
+    )
+    blob_of = {i: blob[o] for i, o in enumerate(order)}
+    vdf = spark.createDataFrame(pdf)
+
+    cents = similarity.kmeans_fit(vdf, k=4, iters=5)
+    assert cents.count() == 4
+    prepped = similarity._prep(vdf, "vec_id", "embedding", "v_")
+    assign = {
+        r.v_id: r.ivf_cell
+        for r in similarity.ivf_assign_lists(prepped, cents).collect()
+    }
+    # purity: every blob maps to exactly one trained centroid
+    cell_by_blob = {}
+    for vid, cell in assign.items():
+        cell_by_blob.setdefault(blob_of[vid], set()).add(cell)
+    assert all(len(cells) == 1 for cells in cell_by_blob.values()), cell_by_blob
+    assert len({next(iter(c)) for c in cell_by_blob.values()}) == 4
+
+    # trained centroids make IVF exact-recall on clustered data
+    q = vdf.filter(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(q, vdf, k=1).toPandas()
+    trained = similarity.ann_ivf_topk(q, vdf, k=1, nprobe=1, centroids=cents).toPandas()
+    e = dict(zip(exact.query_id, exact.neighbor_id))
+    tr = dict(zip(trained.query_id, trained.neighbor_id))
+    hits_trained = sum(1 for kk in e if tr.get(kk) == e[kk])
+    assert hits_trained >= 18  # same-blob neighbors share the list
+
+    naive = similarity.ann_ivf_topk(q, vdf, k=1, n_centroids=4, nprobe=1).toPandas()
+    na = dict(zip(naive.query_id, naive.neighbor_id))
+    hits_naive = sum(1 for kk in e if na.get(kk) == e[kk])
+    assert hits_trained >= hits_naive
+
+
 def test_embed_neardup_finds_planted_pairs(spark):
     rng = np.random.default_rng(99)
     v = rng.normal(size=(300, 64)).astype(np.float32)

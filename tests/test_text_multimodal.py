@@ -148,6 +148,36 @@ def test_decode_embed_ann_end_to_end(spark):
         assert r.cos_sim_q == 1_000_000
 
 
+def test_audio_stats_closed_form(spark):
+    """Audio column family: encode deterministic PCM blobs, decode via
+    the Arrow op, verify every stat against the closed-form numpy
+    recomputation from phash."""
+    import pandas as pd
+
+    n_samp, sr = 480, 16000
+    ph = np.arange(1, 41, dtype=np.uint64) * np.uint64(2654435761)
+    blobs = synth.encode_audio(ph, n_samp, sr)
+    df = spark.createDataFrame(
+        pd.DataFrame({"audio_id": [f"au{i}" for i in range(40)], "bytes": blobs})
+    )
+    got = {r.audio_id: r for r in multimodal.audio_stats(df).collect()}
+    pcm = synth.samples_for_phash(ph, n_samp).astype(np.int64)
+    for i in range(40):
+        r = got[f"au{i}"]
+        s = pcm[i]
+        assert r.sample_rate == sr and r.n_samples == n_samp
+        assert r.duration_ms == n_samp * 1000 // sr
+        assert r.energy == int((s * s).sum())
+        assert r.peak == int(np.abs(s).max())
+        sign = s >= 0
+        assert r.zero_crossings == int((sign[1:] != sign[:-1]).sum())
+
+
+def test_audio_rejects_unknown_codec():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio_blob(b"RIFF" + b"\x00" * 20)
+
+
 def test_decode_rejects_unknown_codec():
     with pytest.raises(NotImplementedError):
         multimodal.decode_blob(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)

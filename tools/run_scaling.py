@@ -111,6 +111,22 @@ that determine cluster scaling are in place and verified:
   correctness-verified (salted path in test_spatial_join.py),
 - Arrow-batched (never per-row) Python, bounded batch sizes.
 
+## Bytes-per-row audit (round-2 long-key experiment, closed)
+
+Hypothesis tested: carrying the 15-char `image_id` string through
+join+rollup inflates bytes/row and depresses high-core efficiency.
+Finding: the plan already does not carry it — `image_id` is selected
+in the builder but never referenced downstream, so Catalyst
+column-prunes it INTO the scan: the physical plan's ReadSchema for the
+image table is `struct<phash:bigint>` (8 bytes/row read; verified via
+.explain("formatted"), see bench.py note). Everything that crosses the
+join and the rollup exchange is numeric (lat/lon doubles, cell/tile
+longs). A long-key variant therefore has nothing left to remove; the
+experiment is closed with plan evidence rather than a code change.
+One related win WAS found and kept: the S2 pandas-UDF encode now runs
+AFTER the cover join, so the Arrow/Python stage sees only joined rows
+(~2.5% here; strictly better wherever the join is selective).
+
 ## Reference baseline comparison
 
 The reference's best published single-node figure is ~3,000 recs/sec
