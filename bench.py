@@ -53,7 +53,9 @@ BENCH_QUERIES = [
     "ann_ivf",
     "image_decode",
     "image_embed",
+    "audio_features",
     "map_lookup",
+    "spatial_wrap",
     "event_windows",
     "sessionize",
     "key_join_rollup",

@@ -149,6 +149,52 @@ def q_spatial_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("box_id").agg(F.count("*").alias("n_points"))
 
 
+def wrapping_boxes_from_supplier(supplier: DataFrame) -> DataFrame:
+    """Boxes centered near the antimeridian (±180°): edges computed in
+    wrapped coordinates, so boxes crossing the seam arrive with
+    min_lon > max_lon — the geographic wrap convention. Integer-exact
+    arithmetic, identical in the oracle."""
+    k = F.col("s_suppkey")
+    c_lat = F.pmod(k * 733, F.lit(1600)) / F.lit(10.0) - F.lit(80.0)
+    c_lon = F.lit(170.0) + F.pmod(k * 7, F.lit(200)) / F.lit(10.0)  # 170..190
+    s_lat = F.pmod(k, F.lit(60)) / F.lit(10.0) + F.lit(0.05)
+    s_lon = F.pmod(k, F.lit(50)) / F.lit(10.0) + F.lit(1.5)  # up to ~6.5°
+    wrap = lambda x: F.pmod(x + 180.0, F.lit(360.0)) - 180.0  # noqa: E731
+    return supplier.select(
+        k.alias("box_id"),
+        (c_lat - s_lat).alias("min_lat"),
+        (c_lat + s_lat).alias("max_lat"),
+        wrap(c_lon - s_lon).alias("min_lon"),
+        wrap(c_lon + s_lon).alias("max_lon"),
+    )
+
+
+WRAPPING_BOXES_SQL = """
+SELECT s_suppkey AS box_id,
+       ((s_suppkey * 733 % 1600) / 10.0 - 80.0) - ((s_suppkey % 60) / 10.0 + 0.05) AS min_lat,
+       ((s_suppkey * 733 % 1600) / 10.0 - 80.0) + ((s_suppkey % 60) / 10.0 + 0.05) AS max_lat,
+       ((((170.0 + (s_suppkey * 7 % 200) / 10.0) - ((s_suppkey % 50) / 10.0 + 1.5)) + 180.0) % 360.0 + 360.0) % 360.0 - 180.0 AS min_lon,
+       ((((170.0 + (s_suppkey * 7 % 200) / 10.0) + ((s_suppkey % 50) / 10.0 + 1.5)) + 180.0) % 360.0 + 360.0) % 360.0 - 180.0 AS max_lon
+FROM supplier
+"""
+
+
+def q_spatial_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Antimeridian containment gate: wrapping boxes (min_lon >
+    max_lon ⇒ crosses ±180°) split into non-wrapping halves
+    (split_antimeridian), then the standard cell-cover containment
+    join. Oracle: direct OR-condition wraparound predicate — so the
+    split+join path is verified against the straight geographic
+    semantics."""
+    points = points_from_orders(load(spark, sf_dir, "orders"))
+    wboxes = wrapping_boxes_from_supplier(load(spark, sf_dir, "supplier"))
+    halves = sj.split_antimeridian(wboxes)
+    pairs = sj.contains_join(
+        points, halves, res=3, broadcast_boxes=True, normalize=False
+    )
+    return pairs.groupBy("box_id").agg(F.count("*").alias("n_points"))
+
+
 def q_count_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B1: filtered COUNT(*) (README.md:220-222)."""
     li = load(spark, sf_dir, "lineitem")
@@ -564,6 +610,40 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAME coverage (rows between N preceding and current):
+    per-user moving sum/count over the event stream. Sums in exact
+    integer micro-units — no float accumulation — so the frame
+    semantics themselves are what the oracle checks."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    micro = (F.col("value").cast("decimal(18,6)") * 1000000).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(micro).over(w).alias("mov_sum_micro"),
+        F.count("*").over(w).cast("long").alias("mov_n"),
+    )
+
+
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile aggregate gate: discrete quantiles of integer cents
+    per group. percentile_disc picks an actual data value (no
+    interpolation arithmetic to drift), so the cross-engine comparison
+    is exact by construction."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    df = li.select("l_returnflag", cents.alias("cents"))
+    return df.groupBy("l_returnflag").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)").alias("p25"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)").alias("p50"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)").alias("p75"),
+        F.count("*").alias("n"),
+    )
+
+
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 parts by retail price per brand (row_number window)."""
     from pyspark.sql import Window
@@ -712,6 +792,15 @@ ORACLES: dict[str, str] = {
     "spatial_salted": f"""
         SELECT b.box_id AS box_id, count(*) AS n_points
         FROM ({POINTS_SQL}) p JOIN ({BOXES_SQL}) b ON {_CONTAINS_PRED}
+        GROUP BY b.box_id
+    """,
+    "spatial_wrap": f"""
+        SELECT b.box_id AS box_id, count(*) AS n_points
+        FROM ({POINTS_SQL}) p JOIN ({WRAPPING_BOXES_SQL}) b
+        ON p.lat >= b.min_lat AND p.lat <= b.max_lat
+           AND (CASE WHEN b.min_lon <= b.max_lon
+                     THEN p.lon >= b.min_lon AND p.lon <= b.max_lon
+                     ELSE p.lon >= b.min_lon OR p.lon <= b.max_lon END)
         GROUP BY b.box_id
     """,
     "count_filter": """
@@ -874,6 +963,31 @@ ORACLES: dict[str, str] = {
                min(ep) AS start_epoch, max(ep) AS end_epoch
         FROM s GROUP BY user_id, session_id
     """,
+    "moving_window": """
+        SELECT user_id, event_id,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS mov_sum_micro,
+               CAST(COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS mov_n
+        FROM events
+    """,
+    "quantiles": """
+        WITH c AS (
+            SELECT l_returnflag,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS p25,
+               CAST(percentile_disc(0.5)  WITHIN GROUP (ORDER BY cents) AS BIGINT) AS p50,
+               CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS p75,
+               count(*) AS n
+        FROM c GROUP BY l_returnflag
+    """,
     "topk_per_group": """
         SELECT p_brand, p_partkey, rk FROM (
             SELECT p_brand, p_partkey,
@@ -922,6 +1036,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spatial_contains_count": q_spatial_contains_count,
     "spatial_contains_pairs": q_spatial_contains_pairs,
     "spatial_salted": q_spatial_salted,
+    "spatial_wrap": q_spatial_wrap,
     "count_filter": q_count_filter,
     "json_lookup": q_json_lookup,
     "map_lookup": q_map_lookup,
@@ -944,6 +1059,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_features": q_audio_features,
     "event_windows": q_event_windows,
     "sessionize": q_sessionize,
+    "moving_window": q_moving_window,
+    "quantiles": q_quantiles,
     "topk_per_group": q_topk_per_group,
     "rollup": q_rollup,
     "set_ops": q_set_ops,

@@ -69,6 +69,36 @@ def normalize_boxes(
     )
 
 
+def split_antimeridian(
+    boxes: DataFrame,
+    min_lat: str = "min_lat",
+    max_lat: str = "max_lat",
+    min_lon: str = "min_lon",
+    max_lon: str = "max_lon",
+) -> DataFrame:
+    """Antimeridian support: a box given with ``min_lon > max_lon``
+    WRAPS across ±180° (the geographic convention; the reference's
+    ST_MakeValid instead swaps the edges, which silently turns a
+    narrow Pacific box into its world-wide complement). Each wrapping
+    box is split into its two non-wrapping halves
+    ``[min_lon, 180]`` and ``[−180, max_lon]`` — same box_id — so every
+    downstream operator (cover join, overlay, area) works unchanged.
+    The halves are disjoint in lon, so a point still matches a box at
+    most once: no dedup shuffle is introduced. Non-wrapping boxes pass
+    through untouched; the transform is a narrow union, no shuffle."""
+    wrap = F.col(min_lon) > F.col(max_lon)
+    east = boxes.withColumn(
+        "_mx", F.when(wrap, F.lit(180.0)).otherwise(F.col(max_lon))
+    ).drop(max_lon).withColumnRenamed("_mx", max_lon)
+    west = (
+        boxes.filter(wrap)
+        .withColumn("_mn", F.lit(-180.0))
+        .drop(min_lon)
+        .withColumnRenamed("_mn", min_lon)
+    )
+    return east.unionByName(west.select(east.columns))
+
+
 def tile_points(
     points: DataFrame, lat: str = "lat", lon: str = "lon", res: int = DEFAULT_RES,
     out: str = "hex_cell",

@@ -173,3 +173,57 @@ def test_skewed_hot_cell_salted_parity(spark):
         ).select("point_id", "box_id").collect()
     }
     assert salted == ref and len(ref) > 50
+
+
+def test_antimeridian_wrap_split_matches_bruteforce(spark):
+    """Boxes crossing ±180° (min_lon > max_lon wrap convention):
+    split_antimeridian + cover join must equal the straight wraparound
+    predicate, and a wrapping box must NOT match points on the far
+    side of the globe (the failure mode of naive min/max swapping)."""
+    rng = np.random.default_rng(31)
+    n = 4000
+    pts_pdf = pd.DataFrame(
+        {
+            "point_id": np.arange(n),
+            "lat": rng.uniform(-80, 80, n),
+            "lon": rng.uniform(-180, 180, n),
+        }
+    )
+    # boxes centered on the seam: half wrap, half don't
+    m = 60
+    clat = rng.uniform(-70, 70, m)
+    clon = rng.uniform(170, 190, m)  # raw, pre-wrap
+    slat = rng.uniform(0.5, 5, m)
+    slon = rng.uniform(0.5, 8, m)
+    w = lambda x: (x + 180.0) % 360.0 - 180.0  # noqa: E731
+    boxes_pdf = pd.DataFrame(
+        {
+            "box_id": np.arange(m),
+            "min_lat": clat - slat,
+            "max_lat": clat + slat,
+            "min_lon": w(clon - slon),
+            "max_lon": w(clon + slon),
+        }
+    )
+    assert (boxes_pdf.min_lon > boxes_pdf.max_lon).any()
+
+    halves = sj.split_antimeridian(spark.createDataFrame(boxes_pdf))
+    got = {
+        (r.point_id, r.box_id)
+        for r in sj.contains_join(
+            spark.createDataFrame(pts_pdf), halves,
+            res=3, broadcast_boxes=True, normalize=False,
+        ).select("point_id", "box_id").collect()
+    }
+    want = set()
+    for b in boxes_pdf.itertuples(index=False):
+        in_lat = (pts_pdf.lat >= b.min_lat) & (pts_pdf.lat <= b.max_lat)
+        if b.min_lon <= b.max_lon:
+            in_lon = (pts_pdf.lon >= b.min_lon) & (pts_pdf.lon <= b.max_lon)
+        else:
+            in_lon = (pts_pdf.lon >= b.min_lon) | (pts_pdf.lon <= b.max_lon)
+        for pid in pts_pdf.point_id[(in_lat & in_lon).to_numpy()]:
+            want.add((int(pid), int(b.box_id)))
+    assert got == want and len(want) > 100
+    # a point matches a split box at most once (halves are disjoint)
+    assert len(got) == len(set(got))
