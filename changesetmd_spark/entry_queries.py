@@ -363,6 +363,43 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline packing gate: contiguous token packing into
+    2048-token bins, 32-way sharded (never a global sort)."""
+    return text_ops.pack_contiguous(load(spark, sf_dir, "documents"), 2048, 32)
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data pipeline gate: quality filter (token
+    count + punctuation ratio + language id) → exact dedup (md5 group,
+    keep min id) → emit kept docs with fingerprint + token count. The
+    oracle chains the identical stages in one SQL statement, so the
+    COMPOSITION (filter before dedup, dedup before feature emit) is
+    what the gate verifies."""
+    docs = load(spark, sf_dir, "documents")
+    feats = text_ops.quality_features(F.col("text"))
+    enriched = docs.select(
+        "doc_id",
+        "text",
+        text_ops.lang_id(F.col("text")).alias("lang_pred"),
+        text_ops.fingerprint(F.col("text")).alias("fp"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["punct_ratio_q"].alias("punct_ratio_q"),
+    )
+    kept = enriched.filter(
+        (F.col("n_tokens") >= 5)
+        & (F.col("punct_ratio_q") < 2000)
+        & (F.col("lang_pred") == "en")
+    )
+    winners = kept.groupBy(F.md5(F.col("text")).alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return (
+        kept.join(winners.select("doc_id"), "doc_id", "left_semi")
+        .select("doc_id", "fp", "n_tokens")
+    )
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-k over embeddings (integer-quantized)."""
     emb = load(spark, sf_dir, "embeddings")
@@ -907,6 +944,24 @@ ORACLES: dict[str, str] = {
                CAST({text_ops.QUALITY_FEATURES_SQL('text')['stop_ratio_q']} AS BIGINT) AS stop_ratio_q
         FROM documents
     """,
+    "token_packing": text_ops.PACK_CONTIGUOUS_SQL(2048, 32),
+    "corpus_pipeline": f"""
+        WITH enriched AS (
+            SELECT doc_id, text,
+                   {text_ops.LANG_ID_SQL('text')} AS lang_pred,
+                   CAST({text_ops.FINGERPRINT_SQL('text')} AS BIGINT) AS fp,
+                   {text_ops.QUALITY_FEATURES_SQL('text')['n_tokens']} AS n_tokens,
+                   CAST({text_ops.QUALITY_FEATURES_SQL('text')['punct_ratio_q']} AS BIGINT) AS punct_ratio_q
+            FROM documents
+        ),
+        kept AS (
+            SELECT * FROM enriched
+            WHERE n_tokens >= 5 AND punct_ratio_q < 2000 AND lang_pred = 'en'
+        ),
+        winners AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text))
+        SELECT k.doc_id, k.fp, k.n_tokens
+        FROM kept k JOIN winners w ON k.doc_id = w.doc_id
+    """,
     "cosine_topk": sim_ops.COSINE_TOPK_SQL(10, "vec_id < 20"),
     "ann_lsh": sim_ops.ANN_LSH_SQL(10, "vec_id < 20"),
     "ann_ivf": sim_ops.ANN_IVF_SQL(10, "vec_id < 20"),
@@ -1051,6 +1106,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
     "text_features": q_text_features,
+    "token_packing": q_token_packing,
+    "corpus_pipeline": q_corpus_pipeline,
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,

@@ -238,12 +238,12 @@ def minhash_lsh_pairs(
 
     At scale the candidate join is a hash equi-join on (band,
     band_sig) — the classic LSH bucket join; the refine re-joins the
-    (cached) shingle index only for candidate pairs.
+    shingle index only for candidate pairs. The index is materialized
+    once (localCheckpoint, slim (id, sh) longs) for its four consumers
+    (signatures, sizes, both refine sides) — at 100 TB this becomes a
+    table write between stages, same dataflow.
     """
-    # no .cache(): the shingle index is cheap column math; caching it
-    # across branches leaks executor memory over a long session and
-    # recompute is cheaper than the GC pressure (measured in bench)
-    sh = _exploded_shingle_hashes(docs, id_col, text_col)
+    sh = _exploded_shingle_hashes(docs, id_col, text_col).localCheckpoint()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
 
     bands = lsh_bands(minhash_signatures(docs, id_col, text_col))
@@ -368,6 +368,40 @@ def SIMHASH_SQL(text: str) -> str:
     return "(" + " + ".join(parts) + ")"
 
 
+def simhash_sigs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, sig): SimHash signatures via explode + 32 codegen'd
+    conditional-sum aggregates (map-side partial combine, one shuffle
+    on id). Identical bits to the ``simhash`` column expression, but
+    the per-token work runs inside whole-stage codegen — Spark's
+    higher-order array lambdas evaluate INTERPRETED per element, which
+    made the fold the dominant cost at bench scale (~2× slower).
+    Token-less docs (empty text) keep the fold's sig = 0 via the final
+    left join."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    ex = docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("_t")).select(
+        "id", token_hash(F.col("_t")).alias("_h")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(SH_BITS)
+    ]
+    agg = ex.groupBy("id").agg(*votes)
+    sig = None
+    for b in range(SH_BITS):
+        term = F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    with_sig = agg.select("id", sig.alias("sig"))
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(with_sig, "id", "left")
+        .select("id", F.coalesce(F.col("sig"), F.lit(0).cast("long")).alias("sig"))
+    )
+
+
 def simhash_pairs(
     docs: DataFrame,
     max_hamming: int = SH_MAX_HAMMING,
@@ -378,7 +412,11 @@ def simhash_pairs(
     band equi-join (pigeonhole: d < SH_BANDS ⇒ some band matches
     exactly); refine: bit_count(xor) ≤ d. Returns (doc_a, doc_b,
     hamming)."""
-    sigs = docs.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sig"))
+    # NOT checkpointed: measured slower than recompute here — the two
+    # consumers pipeline into one codegen stage each, and the eager
+    # materialization breaks that (opposite of the ngram index, whose
+    # recompute is a 4× tokenizer explode)
+    sigs = simhash_sigs(docs, id_col, text_col)
     bands = sigs.select(
         "id",
         "sig",

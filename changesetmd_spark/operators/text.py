@@ -143,3 +143,58 @@ def QUALITY_FEATURES_SQL(text: str) -> dict[str, str]:
         "punct_ratio_q": f"floor({PUNCT_COUNT_SQL(text)} * 10000 / greatest(length({text}), 1))",
         "stop_ratio_q": f"floor({MARKER_COUNT_SQL(text, 'en')} * 10000 / greatest({n_tok}, 1))",
     }
+
+
+def pack_contiguous(
+    docs,
+    target_tokens: int = 2048,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Context-window token packing (training-data pipeline): assign
+    each document to a fixed-budget bin by the running token prefix of
+    its shard — ``bin = floor(prefix_before / target)`` — so bins fill
+    contiguously to ~target tokens (a doc may straddle two bins'
+    boundary; real packers split there, this operator records the
+    assignment). Sharding by ``pmod(id, n_shards)`` keeps the window
+    per-shard ⇒ n_shards-way parallel, never a single global sort —
+    the 100 TB shape (one shuffle, bounded partitions). Deterministic:
+    order within shard is the id. Returns (doc_id, shard, n_tokens,
+    bin_id)."""
+    from pyspark.sql import DataFrame, Window  # noqa: F401
+
+    d = docs.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return d.withColumn("bin_id", F.floor(prefix / F.lit(target_tokens)))
+
+
+def PACK_CONTIGUOUS_SQL(
+    target_tokens: int = 2048,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    return f"""
+        WITH d AS (
+            SELECT {id_col}, {id_col} % {n_shards} AS shard,
+                   CAST({TOKEN_COUNT_SQL(text_col)} AS BIGINT) AS n_tokens
+            FROM {table}
+        )
+        SELECT {id_col}, shard, n_tokens,
+               CAST(floor(coalesce(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY {id_col}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {target_tokens}) AS BIGINT) AS bin_id
+        FROM d
+    """
