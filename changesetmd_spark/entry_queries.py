@@ -628,6 +628,43 @@ def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING gate: the same tumbling-window aggregation as
+    q_event_windows, but executed as a real Structured Streaming query
+    (readStream over the events parquet, Trigger.AvailableNow, complete
+    mode into a memory sink). Shares q_event_windows' oracle SQL — so
+    the streaming engine's windowed aggregation is held to the exact
+    same cross-engine answer as the batch plan."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    path = f"{sf_dir}/events.parquet"
+    # the file-stream source needs a DIRECTORY; the testdata tables are
+    # single files — expose one via symlink (no data copy)
+    stream_dir = tempfile.mkdtemp(prefix="stream_gate_")
+    os.symlink(os.path.abspath(path), os.path.join(stream_dir, "events.parquet"))
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(stream_dir)
+    epoch = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    win = (F.floor(epoch / 900) * 900).alias("window_start")
+    val = F.col("value").cast("decimal(18,6)")
+    agg = src.groupBy(win, F.col("event_type")).agg(
+        F.count("*").alias("n"),
+        (F.sum(val) * 1000000).cast("long").alias("sum_value_micro"),
+    )
+    qname = f"stream_gate_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) via window funcs —
     the reference has no window functions (SURVEY.md §2.c); this is
@@ -1115,6 +1152,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_embed": q_image_embed,
     "audio_features": q_audio_features,
     "event_windows": q_event_windows,
+    "stream_event_windows": q_stream_event_windows,
     "sessionize": q_sessionize,
     "moving_window": q_moving_window,
     "quantiles": q_quantiles,
@@ -1128,6 +1166,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 from .functions.hexgrid import HEX_CELL_SQL as _HEX_SQL  # noqa: E402
 from .operators.polygon_join import POINT_IN_CONVEX_POLYGON_SQL as _PIP_SQL  # noqa: E402
+
+ORACLES["stream_event_windows"] = ORACLES["event_windows"]
 
 ORACLES["hex_rollup"] = f"""
     WITH p AS ({POINTS_SQL})

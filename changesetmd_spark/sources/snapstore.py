@@ -208,7 +208,13 @@ class SnapStore:
         kept (multi-set), so there is no nondeterministic survivor.
         Scale: resolution is one aggregation over keyed-delta rows only
         (small — bounded by auto-compaction) + one equi-join on the
-        key; AQE broadcasts the aggregate when it is small."""
+        key; AQE broadcasts the aggregate when it is small.
+
+        Schema evolution (Iceberg ADD COLUMN analog, the reference's
+        ``ADD COLUMN IF NOT EXISTS geom`` queries.py:54): snapshots may
+        carry columns earlier snapshots lack; the union backfills the
+        missing columns with NULL, so readers always see the latest
+        (widest) schema."""
         snaps = self._deltas(upto=as_of)
         if not snaps:
             raise ValueError("empty table")
@@ -221,7 +227,7 @@ class SnapStore:
         ]
         all_rows = dfs[0]
         for d in dfs[1:]:
-            all_rows = all_rows.unionByName(d)
+            all_rows = all_rows.unionByName(d, allowMissingColumns=True)
         if not keyed_ops:
             return all_rows.filter(~F.col("_deleted")).drop("_deleted", "_snap", "_keyed")
         latest_keyed = (
@@ -265,7 +271,7 @@ class SnapStore:
         ]
         out = dfs[0]
         for d in dfs[1:]:
-            out = out.unionByName(d)
+            out = out.unionByName(d, allowMissingColumns=True)
         return out
 
     # -- lineage / metrics tables (A15 + north_rule) -------------------

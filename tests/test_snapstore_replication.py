@@ -183,6 +183,21 @@ def test_auto_compaction_bounds_deltas(spark, tmp_path):
     assert cur.filter(F.col("id") <= 5).agg(F.min("num_changes")).collect()[0][0] == 6
 
 
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Iceberg ADD COLUMN analog (reference: ADD COLUMN IF NOT EXISTS
+    geom, queries.py:54): a later snapshot may carry a new column;
+    readers see the widest schema with NULL backfill for old rows."""
+    st = SnapStore(spark, str(tmp_path / "se"), key="id")
+    st.create(spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"))
+    st.merge(spark.createDataFrame([(2, "b2", 7.5)], "id int, v string, score double"))
+    cur = st.read()
+    assert set(cur.columns) == {"id", "v", "score"}
+    rows = {r.id: (r.v, r.score) for r in cur.collect()}
+    assert rows == {1: ("a", None), 2: ("b2", 7.5)}
+    # incremental reads tolerate the mixed schemas too
+    assert st.incremental(0).count() == 1
+
+
 def test_replication_loop_checkpoint_and_resume(spark, tmp_path):
     """Crash mid-run, resume from the watermark → identical final
     state to an uninterrupted run (A13 exactly-once upsert)."""
