@@ -238,12 +238,13 @@ def minhash_lsh_pairs(
 
     At scale the candidate join is a hash equi-join on (band,
     band_sig) — the classic LSH bucket join; the refine re-joins the
-    shingle index only for candidate pairs. The index is materialized
-    once (localCheckpoint, slim (id, sh) longs) for its four consumers
-    (signatures, sizes, both refine sides) — at 100 TB this becomes a
-    table write between stages, same dataflow.
+    shingle index only for candidate pairs. The index is NOT
+    checkpointed here (measured slower: each consumer pipelines the
+    cheap explode into its own codegen stage, and eager materialization
+    breaks that — unlike ngram_jaccard where the df-cap pass made a 4th
+    full recompute).
     """
-    sh = _exploded_shingle_hashes(docs, id_col, text_col).localCheckpoint()
+    sh = _exploded_shingle_hashes(docs, id_col, text_col)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
 
     bands = lsh_bands(minhash_signatures(docs, id_col, text_col))
