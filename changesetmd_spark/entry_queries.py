@@ -121,6 +121,16 @@ _CONTAINS_PRED = (
 # query implementations — (spark, sf_dir) -> DataFrame
 # ---------------------------------------------------------------------------
 
+def orders_phash(k):
+    """The shared 63-bit phash derivation (hi·2^31 + lo) every
+    multimodal gate seeds from — one definition, three consumers
+    (image decode/embed builders, audio builder, lat_clamp)."""
+    return (
+        F.pmod(k * 2654435761, F.lit(4294967296)) * F.lit(2147483648)
+        + F.pmod(k * 104729 + 42, F.lit(2147483648))
+    )
+
+
 def q_spatial_contains_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B4 flagship: images-per-polygon counts via cover join."""
     points = points_from_orders(load(spark, sf_dir, "orders"))
@@ -227,15 +237,19 @@ def q_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     m = F.from_json(F.col("props"), "map<string,string>")
     tagged = ev.withColumn("m", m)
+    # try_element_at, not element_at: under ANSI mode (this engine's
+    # default) element_at THROWS on a missing key, and conjunct
+    # short-circuit order is not guaranteed — a props row without 'k'
+    # must filter out, not crash
+    v = F.try_element_at(F.col("m"), F.lit("k"))
     return (
         tagged.filter(
-            F.map_contains_key(F.col("m"), "k")
-            & F.element_at(F.col("m"), "k").startswith("2")
+            F.map_contains_key(F.col("m"), "k") & v.startswith("2")
         )
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.max(F.element_at(F.col("m"), "k")).alias("max_v"),
+            F.max(v).alias("max_v"),
         )
     )
 
@@ -287,11 +301,7 @@ def q_lat_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B8: out-of-range latitude sanity rule on the phash geotag."""
     orders = load(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
-    phash = (
-        F.pmod(k * 2654435761, F.lit(4294967296)) * F.lit(2147483648)
-        + F.pmod(k * 104729 + 42, F.lit(2147483648))
-    )
-    lat_raw = geo.phash_to_lat(phash)
+    lat_raw = geo.phash_to_lat(orders_phash(k))
     return orders.select(
         k.alias("point_id"),
         F.floor(geo.clamp_lat(lat_raw) * 10000).alias("lat_q"),
@@ -439,10 +449,7 @@ def _orders_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.col("o_orderkey")
     base = orders.select(
         F.format_string("img%012d", k).alias("image_id"),
-        (
-            F.pmod(k * 2654435761, F.lit(4294967296)) * F.lit(2147483648)
-            + F.pmod(k * 104729 + 42, F.lit(2147483648))
-        ).alias("phash"),
+        orders_phash(k).alias("phash"),
         F.when(F.pmod(k, 2) == 0, "fraw").otherwise("fjpg").alias("fmt"),
     )
 
@@ -525,10 +532,7 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.col("o_orderkey")
     base = orders.select(
         F.format_string("au%012d", k).alias("audio_id"),
-        (
-            F.pmod(k * 2654435761, F.lit(4294967296)) * F.lit(2147483648)
-            + F.pmod(k * 104729 + 42, F.lit(2147483648))
-        ).alias("phash"),
+        orders_phash(k).alias("phash"),
     )
     enc_schema = StructType(
         [
@@ -605,8 +609,8 @@ def _image_embed_oracle() -> str:
         px AS (
             SELECT image_id, k,
                    CASE WHEN parity = 1
-                        THEN ((phash + k * 2654435761) % 256) - ((phash + k * 2654435761) % 256) % 4
-                        ELSE (phash + k * 2654435761) % 256 END AS v
+                        THEN (((phash % 4294967296) + k * 2654435761) % 256) - (((phash % 4294967296) + k * 2654435761) % 256) % 4
+                        ELSE ((phash % 4294967296) + k * 2654435761) % 256 END AS v
             FROM ph, (SELECT unnest(generate_series(1, 192)) AS k)
         )
         SELECT image_id, {", ".join(cols)}
@@ -662,6 +666,13 @@ def q_stream_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # the memory sink owns the result now — the symlink dir was only
+    # needed while the stream ran. (The uuid-named sink table itself
+    # stays registered for the session: the returned DataFrame reads
+    # from it; gates invoke this once per session.)
+    import shutil
+
+    shutil.rmtree(stream_dir, ignore_errors=True)
     return spark.table(qname)
 
 
@@ -1014,8 +1025,8 @@ ORACLES: dict[str, str] = {
         px AS (
             SELECT image_id, fmt,
                    CASE WHEN parity = 1
-                        THEN ((phash + k * 2654435761) % 256) - ((phash + k * 2654435761) % 256) % 4
-                        ELSE (phash + k * 2654435761) % 256 END AS v
+                        THEN (((phash % 4294967296) + k * 2654435761) % 256) - (((phash % 4294967296) + k * 2654435761) % 256) % 4
+                        ELSE ((phash % 4294967296) + k * 2654435761) % 256 END AS v
             FROM ph, (SELECT unnest(generate_series(1, 192)) AS k)
         )
         SELECT image_id, fmt,

@@ -285,9 +285,12 @@ def audio_stats(audio: DataFrame) -> DataFrame:
             en_o = np.zeros(n, dtype=np.int64)
             pk_o = np.zeros(n, dtype=np.int32)
             zc_o = np.zeros(n, dtype=np.int64)
-            groups: dict[bytes, list[int]] = {}
+            # key on (header, byte length): a truncated blob sharing an
+            # intact blob's header must NOT stack into its matrix (it
+            # would crash np.stack batch-wide instead of failing alone)
+            groups: dict[tuple, list[int]] = {}
             for i, b in enumerate(blobs):
-                groups.setdefault(b[:AUDIO_HEADER_LEN], []).append(i)
+                groups.setdefault((b[:AUDIO_HEADER_LEN], len(b)), []).append(i)
             for hdr, idxs in groups.items():
                 sr0, n0, _ = decode_audio_blob(blobs[idxs[0]])
                 m = np.stack(

@@ -62,11 +62,18 @@ CAPTION_WORDS = [
 
 
 def pixels_for_phash(phash: np.ndarray, w: int, h: int) -> np.ndarray:
-    """(n, w*h*3) uint8 pixel payloads, pure function of phash."""
+    """(n, w*h*3) uint8 pixel payloads, pure function of phash.
+
+    Seeded with phash mod 2^32 (not the full 63-bit phash): the oracle
+    replicates this rule in BIGINT SQL, and a full phash can sit within
+    k·2654435761 of 2^63−1, overflowing the oracle's addition while
+    numpy wraps silently — the mod keeps both engines exact for ANY
+    phash. (Same guard as the audio sample rule.)"""
     n_px = w * h * 3
     k = np.arange(1, n_px + 1, dtype=np.uint64)
+    seed = phash.astype(np.uint64) % np.uint64(4294967296)
     return (
-        (phash.astype(np.uint64)[:, None] + k[None, :] * np.uint64(2654435761))
+        (seed[:, None] + k[None, :] * np.uint64(2654435761))
         % np.uint64(256)
     ).astype(np.uint8)
 

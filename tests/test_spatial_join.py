@@ -208,13 +208,14 @@ def test_antimeridian_wrap_split_matches_bruteforce(spark):
     assert (boxes_pdf.min_lon > boxes_pdf.max_lon).any()
 
     halves = sj.split_antimeridian(spark.createDataFrame(boxes_pdf))
-    got = {
+    got_rows = [
         (r.point_id, r.box_id)
         for r in sj.contains_join(
             spark.createDataFrame(pts_pdf), halves,
             res=3, broadcast_boxes=True, normalize=False,
         ).select("point_id", "box_id").collect()
-    }
+    ]
+    got = set(got_rows)
     want = set()
     for b in boxes_pdf.itertuples(index=False):
         in_lat = (pts_pdf.lat >= b.min_lat) & (pts_pdf.lat <= b.max_lat)
@@ -225,5 +226,6 @@ def test_antimeridian_wrap_split_matches_bruteforce(spark):
         for pid in pts_pdf.point_id[(in_lat & in_lon).to_numpy()]:
             want.add((int(pid), int(b.box_id)))
     assert got == want and len(want) > 100
-    # a point matches a split box at most once (halves are disjoint)
-    assert len(got) == len(set(got))
+    # a point matches a split box at most once (halves are disjoint) —
+    # checked on the raw row list, before set-dedup could mask it
+    assert len(got_rows) == len(got)

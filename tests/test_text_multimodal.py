@@ -120,12 +120,8 @@ def test_decode_embed_ann_end_to_end(spark):
         .select(F.concat(F.lit("dup_"), "image_id").alias("image_id"), "bytes", "phash")
     )
     images = base.unionByName(dups)
-    emb = multimodal.feature_embed(images).withColumn(
-        "vec_id",
-        F.when(F.col("image_id").startswith("dup_"), F.lit(0)).otherwise(F.lit(1000)),
-    )
     # stable integer ids for the ANN operator (hash of image_id)
-    emb = emb.select(
+    emb = multimodal.feature_embed(images).select(
         F.conv(F.substring(F.md5("image_id"), 1, 8), 16, 10).cast("long").alias("vec_id"),
         "image_id",
         "embedding",
