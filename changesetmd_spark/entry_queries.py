@@ -816,6 +816,42 @@ def q_polygon_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("poly_id").agg(F.count("*").alias("n_points"))
 
 
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable continuous-aggregate gate: orders land in THREE
+    separate appends with an IncrementalRollup.refresh() after each —
+    every refresh folds only the new snapshot's delta — and the final
+    rollup state must equal DuckDB's one-shot GROUP BY over the whole
+    table. Gates the additive maintenance path end-to-end (watermark,
+    delta aggregation, touched-group merge)."""
+    import tempfile
+
+    from .operators.rollup import IncrementalRollup
+    from .sources.snapstore import SnapStore
+
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    facts = orders.select(
+        k.alias("fact_id"),
+        F.col("o_orderpriority"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    root = tempfile.mkdtemp(prefix="rollup_gate_")
+    base = SnapStore(spark, f"{root}/facts", key="fact_id")
+    ru = IncrementalRollup(base, f"{root}/rollup", ["o_orderpriority"], ["price"])
+    part = F.pmod(F.col("fact_id"), 3)
+    base.create(facts.filter(part == 0))
+    ru.refresh()
+    base.append(facts.filter(part == 1))
+    ru.refresh()
+    base.append(facts.filter(part == 2))
+    ru.refresh()
+    return ru.read().select(
+        "o_orderpriority",
+        "n_rows",
+        (F.col("sum_price") * 100).cast("long").alias("sum_cents"),
+    )
+
+
 def q_hex_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tiling gate: assign every point its hex cell at two resolutions
     and roll up counts — the DuckDB oracle re-implements the exact
@@ -1109,6 +1145,11 @@ ORACLES: dict[str, str] = {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY ROLLUP (r_name, n_name)
     """,
+    "incremental_rollup": """
+        SELECT o_orderpriority, count(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_cents
+        FROM orders GROUP BY o_orderpriority
+    """,
     "merge_upsert": """
         WITH stream AS (
             SELECT o_orderkey AS id, o_custkey AS v, 0 AS seq FROM orders
@@ -1170,6 +1211,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_per_group": q_topk_per_group,
     "rollup": q_rollup,
     "set_ops": q_set_ops,
+    "incremental_rollup": q_incremental_rollup,
     "merge_upsert": q_merge_upsert,
     "hex_rollup": q_hex_rollup,
     "polygon_contains": q_polygon_contains,
