@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "knn",
     "tile_overlay",
     "exact_dedup",
+    "phash_neardup",
     "ngram_jaccard",
     "minhash_lsh",
     "simhash",

@@ -341,6 +341,32 @@ def q_tile_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("a_box_id").alias("cust_box"), F.col("b_box_id").alias("supp_box"))
 
 
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup gate: clusters of 5 images share a group
+    phash with ONE deterministically flipped bit each (pairwise hamming
+    ≤ 2), so phash-band LSH must recover exactly the intra-group pairs;
+    inter-group hashes are pseudorandom (hamming ≈ 31) and band
+    collisions die in the refine. Oracle replicates the derivation and
+    the banding 1:1."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    g = F.expr("(o_orderkey - 1) div 5")
+    base = (
+        F.pmod(g * 2654435761, F.lit(4294967296)) * F.lit(2147483648)
+        + F.pmod(g * 104729 + 42, F.lit(2147483648))
+    )
+    mask = F.pow(F.lit(2.0), F.pmod(k, 59)).cast("long")
+    imgs = orders.select(k.alias("img_key"), base.bitwiseXOR(mask).alias("phash"))
+    return dedup_ops.phash_neardup_pairs(imgs, id_col="img_key")
+
+
+_PHASH_GATE_EXPR = (
+    "xor((((o_orderkey - 1) // 5) * 2654435761 % 4294967296) * 2147483648"
+    " + (((o_orderkey - 1) // 5) * 104729 + 42) % 2147483648,"
+    " CAST(pow(2.0, o_orderkey % 59) AS BIGINT))"
+)
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact text dedup: md5 group, keep min doc_id."""
     return dedup_ops.exact_dedup(load(spark, sf_dir, "documents"))
@@ -852,6 +878,23 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Area on TRUE polygons (shoelace over the vertex arrays), not
+    just envelope area (B5's area_filter) — quantized for exact
+    cross-engine comparison; filters + aggregates per area decile so
+    both the formula and its use in predicates are gated."""
+    from .operators import polygon_join as pj
+
+    polys = polygons_from_customer(load(spark, sf_dir, "customer"))
+    area = pj.polygon_area_q(F.col("xs"), F.col("ys"), 6)
+    return (
+        polys.select("poly_id", area.alias("area_q"))
+        .filter(F.col("area_q") > 0)
+        .groupBy(F.floor(F.col("area_q") / 2000000).alias("area_bucket"))
+        .agg(F.count("*").alias("n"), F.sum("area_q").alias("sum_area_q"))
+    )
+
+
 def q_hex_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tiling gate: assign every point its hex cell at two resolutions
     and roll up counts — the DuckDB oracle re-implements the exact
@@ -1014,6 +1057,9 @@ ORACLES: dict[str, str] = {
                 OR a.max_lat < b.min_lat OR b.max_lat < a.min_lat)
     """,
     "exact_dedup": dedup_ops.EXACT_DEDUP_SQL(),
+    "phash_neardup": dedup_ops.PHASH_NEARDUP_SQL(
+        _PHASH_GATE_EXPR, "FROM orders", "o_orderkey"
+    ),
     "ngram_jaccard": dedup_ops.NGRAM_JACCARD_SQL(),
     "minhash_lsh": dedup_ops.MINHASH_LSH_SQL(),
     "simhash": dedup_ops.SIMHASH_PAIRS_SQL(),
@@ -1191,6 +1237,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn": q_knn,
     "tile_overlay": q_tile_overlay,
     "exact_dedup": q_exact_dedup,
+    "phash_neardup": q_phash_neardup,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
@@ -1215,6 +1262,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_upsert": q_merge_upsert,
     "hex_rollup": q_hex_rollup,
     "polygon_contains": q_polygon_contains,
+    "polygon_area": q_polygon_area,
 }
 
 from .functions.hexgrid import HEX_CELL_SQL as _HEX_SQL  # noqa: E402
@@ -1228,6 +1276,16 @@ ORACLES["hex_rollup"] = f"""
            {_HEX_SQL("p.lat", "p.lon", 4)} AS cell_r4,
            count(*) AS n
     FROM p GROUP BY 1, 2
+"""
+
+from .operators.polygon_join import POLYGON_AREA_Q_SQL as _PAREA_SQL  # noqa: E402
+
+ORACLES["polygon_area"] = f"""
+    WITH g AS ({POLYGONS_SQL}),
+    areas AS (SELECT poly_id, {_PAREA_SQL('xs', 'ys', 6)} AS area_q FROM g)
+    SELECT CAST(floor(area_q / 2000000) AS BIGINT) AS area_bucket,
+           count(*) AS n, CAST(SUM(area_q) AS BIGINT) AS sum_area_q
+    FROM areas WHERE area_q > 0 GROUP BY 1
 """
 
 ORACLES["polygon_contains"] = f"""

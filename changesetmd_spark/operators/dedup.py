@@ -481,3 +481,98 @@ def SIMHASH_PAIRS_SQL(
         SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
         FROM cands WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
     """
+
+
+# ---------------------------------------------------------------------------
+# perceptual image dedup — phash hamming LSH (the images-table sibling
+# of SimHash: near-duplicate IMAGES share a 64-bit perceptual hash
+# within a few flipped bits)
+# ---------------------------------------------------------------------------
+
+PH_BITS = 64
+PH_BANDS = 4
+PH_BAND_BITS = PH_BITS // PH_BANDS
+PH_MAX_HAMMING = 3  # must stay < PH_BANDS for the pigeonhole guarantee
+
+
+def phash_neardup_pairs(
+    images: DataFrame,
+    max_hamming: int = PH_MAX_HAMMING,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash hamming distance:
+    band equi-join on 16-bit phash bands (pigeonhole: hamming < PH_BANDS
+    ⇒ some band matches exactly), refine bit_count(xor) ≤ d. Identical
+    shape to simhash_pairs, over the image table's phash column — the
+    brief's image-dedup family member. Scale: candidates are a hash
+    equi-join on (band, bits); 16-bit bands keep random collisions at
+    n²/2^16 per band. Returns (img_a, img_b, hamming)."""
+    if not max_hamming < PH_BANDS:
+        raise ValueError("pigeonhole requires max_hamming < PH_BANDS")
+    bands = images.select(
+        F.col(id_col).alias("id"),
+        F.col(phash_col).alias("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col(phash_col), i * PH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << PH_BAND_BITS) - 1))
+                        .alias("bits"),
+                    )
+                    for i in range(PH_BANDS)
+                ]
+            )
+        ).alias("bd"),
+    ).select("id", "sig", F.col("bd.band").alias("band"), F.col("bd.bits").alias("bits"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("img_a"),
+            F.col("b.id").alias("img_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cands.select(
+        "img_a", "img_b", ham.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def PHASH_NEARDUP_SQL(
+    phash_expr: str,
+    from_clause: str,
+    id_expr: str,
+    max_hamming: int = PH_MAX_HAMMING,
+) -> str:
+    """Oracle twin of phash_neardup_pairs over an arbitrary
+    (id, phash) derivation: ``from_clause`` supplies the table, the
+    two expressions the columns."""
+    return f"""
+        WITH sigs AS (
+            SELECT {id_expr} AS id, {phash_expr} AS sig {from_clause}
+        ),
+        bands AS (
+            SELECT id, sig, band,
+                   (sig >> (band * {PH_BAND_BITS})) & {(1 << PH_BAND_BITS) - 1} AS bits
+            FROM sigs, (SELECT unnest(generate_series(0, {PH_BANDS - 1})) AS band)
+        ),
+        cands AS (
+            SELECT DISTINCT a.id AS img_a, b.id AS img_b, a.sig AS sig_a, b.sig AS sig_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bits = b.bits AND a.id < b.id
+        )
+        SELECT img_a, img_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+        FROM cands WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+    """

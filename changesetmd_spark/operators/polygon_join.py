@@ -100,3 +100,28 @@ def polygon_contains_join(
     )
     joined = pts.join(cov, (pts["hex_cell"] == cov["hex_cell"]) & refine, "inner")
     return joined.drop(pts["hex_cell"]).drop(cov["hex_cell"])
+
+
+def polygon_area_q(xs: Column, ys: Column, n_vertices: int, quant: int = 10**6) -> Column:
+    """Planar polygon area via the shoelace formula, quantized to
+    floor(|Σ cross| / 2 · quant) for exact cross-engine comparison.
+    The vertex coordinates come in as fixed-length arrays (CCW); the
+    cross terms are expanded per edge as plain column arithmetic —
+    codegen, no interpreted array lambdas. (The degree-space analog of
+    ST_Area on the true polygon, vs geo.bbox_area_km2's envelope.)"""
+    terms = None
+    for e in range(n_vertices):
+        j = (e % n_vertices) + 1          # 1-based element_at
+        jn = (e + 1) % n_vertices + 1
+        t = F.element_at(xs, j) * F.element_at(ys, jn) - F.element_at(xs, jn) * F.element_at(ys, j)
+        terms = t if terms is None else terms + t
+    return F.floor(F.abs(terms) / F.lit(2.0) * F.lit(float(quant)))
+
+
+def POLYGON_AREA_Q_SQL(xs: str, ys: str, n_vertices: int, quant: int = 10**6) -> str:
+    terms = " + ".join(
+        f"({xs}[{e + 1}] * {ys}[{(e + 1) % n_vertices + 1}]"
+        f" - {xs}[{(e + 1) % n_vertices + 1}] * {ys}[{e + 1}])"
+        for e in range(n_vertices)
+    )
+    return f"CAST(floor(abs({terms}) / 2.0 * {quant}) AS BIGINT)"
