@@ -702,6 +702,45 @@ def q_stream_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+def q_stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL streaming gate: per-user running stats held in
+    applyInPandasWithState (streaming/stateful.py) driven as a real
+    stream (availableNow over the events table — one file, one
+    micro-batch, so the final update per user is the total state).
+    Oracle: the closed-form per-user aggregation in SQL — the custom
+    state transition function is held to the exact batch answer."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from .streaming.stateful import track_user_activity
+
+    path = f"{sf_dir}/events.parquet"
+    stream_dir = tempfile.mkdtemp(prefix="state_gate_")
+    os.symlink(os.path.abspath(path), os.path.join(stream_dir, "events.parquet"))
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(stream_dir)
+    out = track_user_activity(src.select("user_id", "event_type", "ts"))
+    qname = f"state_gate_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    return spark.table(qname).select(
+        "user_id",
+        "n_events",
+        F.col("n_event_types").cast("long").alias("n_event_types"),
+        "last_epoch",
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) via window funcs —
     the reference has no window functions (SURVEY.md §2.c); this is
@@ -1252,6 +1291,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_features": q_audio_features,
     "event_windows": q_event_windows,
     "stream_event_windows": q_stream_event_windows,
+    "stream_user_state": q_stream_user_state,
     "sessionize": q_sessionize,
     "moving_window": q_moving_window,
     "quantiles": q_quantiles,
@@ -1269,6 +1309,14 @@ from .functions.hexgrid import HEX_CELL_SQL as _HEX_SQL  # noqa: E402
 from .operators.polygon_join import POINT_IN_CONVEX_POLYGON_SQL as _PIP_SQL  # noqa: E402
 
 ORACLES["stream_event_windows"] = ORACLES["event_windows"]
+
+ORACLES["stream_user_state"] = """
+    SELECT user_id, count(*) AS n_events,
+           CAST(count(DISTINCT CASE WHEN event_type IN ('click','view','purchase','signup','error')
+                                    THEN event_type ELSE '_other' END) AS BIGINT) AS n_event_types,
+           max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_epoch
+    FROM events GROUP BY user_id
+"""
 
 ORACLES["hex_rollup"] = f"""
     WITH p AS ({POINTS_SQL})
