@@ -733,11 +733,18 @@ def q_stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     shutil.rmtree(stream_dir, ignore_errors=True)
-    return spark.table(qname).select(
-        "user_id",
-        "n_events",
-        F.col("n_event_types").cast("long").alias("n_event_types"),
-        "last_epoch",
+    # update mode emits one row per user PER MICRO-BATCH; the state
+    # columns are all monotone (counts, distinct-bit count, max epoch),
+    # so the final state is the per-user max — exact for the one-batch
+    # case here and robust if the source ever splits into several
+    return (
+        spark.table(qname)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("n_event_types").cast("long").alias("n_event_types"),
+            F.max("last_epoch").alias("last_epoch"),
+        )
     )
 
 
@@ -910,11 +917,18 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ru.refresh()
     base.append(facts.filter(part == 2))
     ru.refresh()
-    return ru.read().select(
+    out = ru.read().select(
         "o_orderpriority",
         "n_rows",
         (F.col("sum_price") * 100).cast("long").alias("sum_cents"),
     )
+    # materialize the (tiny) rollup result, then drop the temp stores —
+    # the lazy plan would otherwise pin /tmp/rollup_gate_* forever
+    rows = out.collect()
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
 
 
 def q_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -403,21 +403,22 @@ def simhash_sigs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
-def simhash_pairs(
-    docs: DataFrame,
-    max_hamming: int = SH_MAX_HAMMING,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+
+def _banded_hamming_pairs(
+    sigs: DataFrame,
+    n_bands: int,
+    band_bits: int,
+    max_hamming: int,
+    a_name: str,
+    b_name: str,
 ) -> DataFrame:
-    """Near-dup pairs with SimHash hamming distance ≤ d. Candidates:
-    band equi-join (pigeonhole: d < SH_BANDS ⇒ some band matches
-    exactly); refine: bit_count(xor) ≤ d. Returns (doc_a, doc_b,
-    hamming)."""
-    # NOT checkpointed: measured slower than recompute here — the two
-    # consumers pipeline into one codegen stage each, and the eager
-    # materialization breaks that (opposite of the ngram index, whose
-    # recompute is a 4× tokenizer explode)
-    sigs = simhash_sigs(docs, id_col, text_col)
+    """Shared band-LSH hamming machinery (SimHash over text, phash over
+    images — any int64 signature family): explode each (id, sig) into
+    its bands, candidates = band equi-join (pigeonhole: hamming <
+    n_bands ⇒ some band matches exactly), refine bit_count(xor) ≤ d.
+    Signatures must be non-negative (all families here are < 2^63)."""
+    if not max_hamming < n_bands:
+        raise ValueError("pigeonhole requires max_hamming < n_bands")
     bands = sigs.select(
         "id",
         "sig",
@@ -426,11 +427,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright(F.col("sig"), i * SH_BAND_BITS)
-                        .bitwiseAND(F.lit((1 << SH_BAND_BITS) - 1))
+                        F.shiftrightunsigned(F.col("sig"), i * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
                         .alias("bits"),
                     )
-                    for i in range(SH_BANDS)
+                    for i in range(n_bands)
                 ]
             )
         ).alias("bd"),
@@ -445,8 +446,8 @@ def simhash_pairs(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(
-            F.col("a.id").alias("doc_a"),
-            F.col("b.id").alias("doc_b"),
+            F.col("a.id").alias(a_name),
+            F.col("b.id").alias(b_name),
             F.col("a.sig").alias("sig_a"),
             F.col("b.sig").alias("sig_b"),
         )
@@ -454,8 +455,46 @@ def simhash_pairs(
     )
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return cands.select(
-        "doc_a", "doc_b", ham.cast("long").alias("hamming")
+        a_name, b_name, ham.cast("long").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def _BANDED_HAMMING_SQL(
+    sigs_sql: str, n_bands: int, band_bits: int, max_hamming: int, a_name: str, b_name: str
+) -> str:
+    """SQL twin of _banded_hamming_pairs over a (id, sig) CTE body."""
+    return f"""
+        WITH sigs AS ({sigs_sql}),
+        bands AS (
+            SELECT id, sig, band,
+                   (sig >> (band * {band_bits})) & {(1 << band_bits) - 1} AS bits
+            FROM sigs, (SELECT unnest(generate_series(0, {n_bands - 1})) AS band)
+        ),
+        cands AS (
+            SELECT DISTINCT a.id AS {a_name}, b.id AS {b_name}, a.sig AS sig_a, b.sig AS sig_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bits = b.bits AND a.id < b.id
+        )
+        SELECT {a_name}, {b_name}, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+        FROM cands WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+    """
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = SH_MAX_HAMMING,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance ≤ d — the shared
+    band-LSH machinery over the 32-bit text signatures. Returns
+    (doc_a, doc_b, hamming)."""
+    # NOT checkpointed: measured slower than recompute here — the two
+    # consumers pipeline into one codegen stage each (see module notes)
+    sigs = simhash_sigs(docs, id_col, text_col)
+    return _banded_hamming_pairs(
+        sigs, SH_BANDS, SH_BAND_BITS, max_hamming, "doc_a", "doc_b"
+    )
 
 
 def SIMHASH_PAIRS_SQL(
@@ -464,23 +503,8 @@ def SIMHASH_PAIRS_SQL(
     text_col: str = "text",
     table: str = "documents",
 ) -> str:
-    return f"""
-        WITH sigs AS (
-            SELECT {id_col} AS id, {SIMHASH_SQL(text_col)} AS sig FROM {table}
-        ),
-        bands AS (
-            SELECT id, sig, band,
-                   (sig >> (band * {SH_BAND_BITS})) & {(1 << SH_BAND_BITS) - 1} AS bits
-            FROM sigs, (SELECT unnest(generate_series(0, {SH_BANDS - 1})) AS band)
-        ),
-        cands AS (
-            SELECT DISTINCT a.id AS doc_a, b.id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.bits = b.bits AND a.id < b.id
-        )
-        SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
-        FROM cands WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
-    """
+    sigs = f"SELECT {id_col} AS id, {SIMHASH_SQL(text_col)} AS sig FROM {table}"
+    return _BANDED_HAMMING_SQL(sigs, SH_BANDS, SH_BAND_BITS, max_hamming, "doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
@@ -501,53 +525,15 @@ def phash_neardup_pairs(
     id_col: str = "image_id",
     phash_col: str = "phash",
 ) -> DataFrame:
-    """Near-duplicate image pairs by perceptual-hash hamming distance:
-    band equi-join on 16-bit phash bands (pigeonhole: hamming < PH_BANDS
-    ⇒ some band matches exactly), refine bit_count(xor) ≤ d. Identical
-    shape to simhash_pairs, over the image table's phash column — the
-    brief's image-dedup family member. Scale: candidates are a hash
-    equi-join on (band, bits); 16-bit bands keep random collisions at
-    n²/2^16 per band. Returns (img_a, img_b, hamming)."""
-    if not max_hamming < PH_BANDS:
-        raise ValueError("pigeonhole requires max_hamming < PH_BANDS")
-    bands = images.select(
-        F.col(id_col).alias("id"),
-        F.col(phash_col).alias("sig"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col(phash_col), i * PH_BAND_BITS)
-                        .bitwiseAND(F.lit((1 << PH_BAND_BITS) - 1))
-                        .alias("bits"),
-                    )
-                    for i in range(PH_BANDS)
-                ]
-            )
-        ).alias("bd"),
-    ).select("id", "sig", F.col("bd.band").alias("band"), F.col("bd.bits").alias("bits"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bits") == F.col("b.bits"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("img_a"),
-            F.col("b.id").alias("img_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .distinct()
+    """Near-duplicate image pairs by perceptual-hash hamming distance —
+    the shared band-LSH machinery over the 64-bit phash (16-bit bands
+    keep random collisions at n²/2^16 per band). The image-table
+    sibling of SimHash (task brief's image-dedup family). Returns
+    (img_a, img_b, hamming)."""
+    sigs = images.select(F.col(id_col).alias("id"), F.col(phash_col).alias("sig"))
+    return _banded_hamming_pairs(
+        sigs, PH_BANDS, PH_BAND_BITS, max_hamming, "img_a", "img_b"
     )
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cands.select(
-        "img_a", "img_b", ham.cast("long").alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
 
 
 def PHASH_NEARDUP_SQL(
@@ -559,20 +545,5 @@ def PHASH_NEARDUP_SQL(
     """Oracle twin of phash_neardup_pairs over an arbitrary
     (id, phash) derivation: ``from_clause`` supplies the table, the
     two expressions the columns."""
-    return f"""
-        WITH sigs AS (
-            SELECT {id_expr} AS id, {phash_expr} AS sig {from_clause}
-        ),
-        bands AS (
-            SELECT id, sig, band,
-                   (sig >> (band * {PH_BAND_BITS})) & {(1 << PH_BAND_BITS) - 1} AS bits
-            FROM sigs, (SELECT unnest(generate_series(0, {PH_BANDS - 1})) AS band)
-        ),
-        cands AS (
-            SELECT DISTINCT a.id AS img_a, b.id AS img_b, a.sig AS sig_a, b.sig AS sig_b
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.bits = b.bits AND a.id < b.id
-        )
-        SELECT img_a, img_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
-        FROM cands WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
-    """
+    sigs = f"SELECT {id_expr} AS id, {phash_expr} AS sig {from_clause}"
+    return _BANDED_HAMMING_SQL(sigs, PH_BANDS, PH_BAND_BITS, max_hamming, "img_a", "img_b")

@@ -111,7 +111,7 @@ def polygon_area_q(xs: Column, ys: Column, n_vertices: int, quant: int = 10**6) 
     ST_Area on the true polygon, vs geo.bbox_area_km2's envelope.)"""
     terms = None
     for e in range(n_vertices):
-        j = (e % n_vertices) + 1          # 1-based element_at
+        j = e + 1                          # 1-based element_at
         jn = (e + 1) % n_vertices + 1
         t = F.element_at(xs, j) * F.element_at(ys, jn) - F.element_at(xs, jn) * F.element_at(ys, j)
         terms = t if terms is None else terms + t

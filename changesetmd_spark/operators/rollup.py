@@ -49,7 +49,13 @@ class IncrementalRollup:
     # -- internals -----------------------------------------------------
 
     def _gkey(self) -> F.Column:
-        return F.concat_ws("", *[F.col(c).cast("string") for c in self.group_cols])
+        """Collision-safe group key: md5 of the JSON-serialized group
+        struct. NOT concat_ws — that drops NULLs (distinct groups
+        differing only in NULL placement would collide on the store
+        key) and a separator character inside a value could forge
+        another group's key; JSON field names + escaping rule both
+        out."""
+        return F.md5(F.to_json(F.struct(*[F.col(c) for c in self.group_cols])))
 
     def _aggregate(self, df: DataFrame) -> DataFrame:
         aggs = [F.count("*").alias("n_rows")] + [
@@ -61,40 +67,45 @@ class IncrementalRollup:
             .withColumn(_KEY, self._gkey())
         )
 
-    def _fold(self, cur: DataFrame, delta: DataFrame) -> DataFrame:
-        """cur ⊕ delta: additive merge of the two aggregate frames —
-        full outer join on the group key, coalesced sums."""
-        d = delta.select(
+    def _fold_touched(self, cur: DataFrame, delta: DataFrame) -> DataFrame:
+        """delta ⊕ cur for the TOUCHED groups only: the delta LEFT
+        JOINs the current rollup (group labels always come from the
+        delta, which defines the touched set), so refresh work scales
+        with the delta — never with the rollup's total group count."""
+        c = cur.select(
             F.col(_KEY),
-            F.col("n_rows").alias("_dn"),
-            *[F.col(f"sum_{c}").alias(f"_ds_{c}") for c in self.sum_cols],
-            *[F.col(c).alias(f"_dg_{c}") for c in self.group_cols],
+            F.col("n_rows").alias("_cn"),
+            *[F.col(f"sum_{x}").alias(f"_cs_{x}") for x in self.sum_cols],
         )
-        j = cur.join(d, _KEY, "full_outer")
-        folded = j.select(
+        j = delta.join(c, _KEY, "left")
+        return j.select(
             F.col(_KEY),
-            *[
-                F.coalesce(F.col(c), F.col(f"_dg_{c}")).alias(c)
-                for c in self.group_cols
-            ],
-            (F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(F.col("_dn"), F.lit(0))).alias(
-                "n_rows"
-            ),
+            *[F.col(g) for g in self.group_cols],
+            (F.col("n_rows") + F.coalesce(F.col("_cn"), F.lit(0))).alias("n_rows"),
             *[
                 (
-                    F.coalesce(F.col(f"sum_{c}"), F.lit(0).cast("decimal(28,6)"))
-                    + F.coalesce(F.col(f"_ds_{c}"), F.lit(0).cast("decimal(28,6)"))
-                ).alias(f"sum_{c}")
-                for c in self.sum_cols
+                    F.col(f"sum_{x}")
+                    + F.coalesce(F.col(f"_cs_{x}"), F.lit(0).cast("decimal(28,6)"))
+                ).alias(f"sum_{x}")
+                for x in self.sum_cols
             ],
         )
-        return folded
 
     # -- API -------------------------------------------------------------
 
     def refresh(self) -> dict:
         """Fold all base snapshots newer than the watermark into the
-        rollup. Returns {'folded_snapshots': k, 'upto': snapshot_id}."""
+        rollup. Returns {'folded_snapshots': k, 'upto': snapshot_id}.
+        Takes the rollup store's single-writer mutex for the whole
+        read-fold-merge-watermark cycle: an additive fold is not
+        idempotent, so two concurrent refreshes would double-count."""
+        self.store.acquire()
+        try:
+            return self._refresh_locked()
+        finally:
+            self.store.release()
+
+    def _refresh_locked(self) -> dict:
         st = self.store.read_state()
         # crash-safety: an additive fold is NOT idempotent, so the
         # watermark alone is not enough — every rollup commit records
@@ -124,13 +135,7 @@ class IncrementalRollup:
         delta_rows = self.base.incremental(last, head)
         delta_agg = self._aggregate(delta_rows.drop("_snap", "_deleted"))
         if self.store.snapshots():
-            folded = self._fold(self.store.read(), delta_agg)
-            # merge rewrites ONLY groups present in `folded`… which is
-            # all groups after a full-outer fold; keep the write bounded
-            # by merging just the TOUCHED groups (semi-join on delta keys)
-            touched = folded.join(
-                delta_agg.select(_KEY).distinct(), _KEY, "left_semi"
-            )
+            touched = self._fold_touched(self.store.read(), delta_agg)
             self.store.merge(touched, base_snapshot=head)
         else:
             self.store.create(delta_agg, base_snapshot=head)
@@ -142,7 +147,15 @@ class IncrementalRollup:
     def full_refresh(self) -> None:
         """Rebuild from the base table's current state (the escape
         hatch for ranges containing merges/deletes): one full aggregate
-        merged over every existing group."""
+        merged over every existing group. Same single-writer mutex as
+        refresh()."""
+        self.store.acquire()
+        try:
+            self._full_refresh_locked()
+        finally:
+            self.store.release()
+
+    def _full_refresh_locked(self) -> None:
         fresh = self._aggregate(self.base.read())
         if self.store.snapshots():
             # latest keyed snapshot owns every key it carries; stale

@@ -90,3 +90,31 @@ def test_refuses_nonappend_range_and_full_refresh_recovers(spark, tmp_path):
     base.append(_facts(spark, 5, n=13))
     ru.refresh()
     assert _got(ru) == _expected(base)
+
+
+def test_null_groups_do_not_collide(spark):
+    """Groups differing only in NULL placement (or containing separator
+    bytes) must stay distinct — the group key is a JSON-struct hash,
+    not a string concat that drops NULLs."""
+    import tempfile
+
+    base_root = tempfile.mkdtemp(prefix="ru_null_base_")
+    ru_root = tempfile.mkdtemp(prefix="ru_null_ru_")
+    base = SnapStore(spark, base_root, key="fact_id")
+    base.create(
+        spark.createDataFrame(
+            [(1, "x", None, 10.0), (2, None, "x", 20.0), (3, "a\x01b", "c", 1.0), (4, "a", "b\x01c", 2.0)],
+            "fact_id int, g1 string, g2 string, amount double",
+        )
+    )
+    ru = IncrementalRollup(base, ru_root, ["g1", "g2"], ["amount"])
+    ru.refresh()
+    base.append(spark.createDataFrame([(5, "x", None, 5.0)], "fact_id int, g1 string, g2 string, amount double"))
+    ru.refresh()
+    got = {(r.g1, r.g2): (r.n_rows, float(r.sum_amount)) for r in ru.read().collect()}
+    assert got == {
+        ("x", None): (2, 15.0),
+        (None, "x"): (1, 20.0),
+        ("a\x01b", "c"): (1, 1.0),
+        ("a", "b\x01c"): (1, 2.0),
+    }
