@@ -241,3 +241,31 @@ def test_pandas_udf_matches_numpy(spark):
 def test_level_bounds():
     with pytest.raises(ValueError):
         s2.s2_cell_np(np.array([0.0]), np.array([0.0]), 31)
+
+
+def test_hypothesis_scalar_parity_and_float_edges():
+    """Property-based check (hypothesis): the vectorized encoder equals
+    the independent scalar derivation for ANY float input — including
+    -0.0, exact face boundaries, and near-pole values that fixed-seed
+    sampling misses."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        lat=st.one_of(
+            st.floats(min_value=-90.0, max_value=90.0, allow_nan=False),
+            st.sampled_from([0.0, -0.0, 45.0, -45.0, 90.0, -90.0, 35.26438968275465]),
+        ),
+        lon=st.one_of(
+            st.floats(min_value=-180.0, max_value=180.0, allow_nan=False),
+            st.sampled_from([0.0, -0.0, 90.0, -90.0, 180.0, -180.0, 45.0, 135.0]),
+        ),
+        level=st.sampled_from([0, 5, 12, 30]),
+    )
+    def check(lat, lon, level):
+        got = int(s2.s2_cell_np(np.array([lat]), np.array([lon]), level).view(np.uint64)[0])
+        want = _slow_cell(lat, lon, level)
+        assert got == want, (lat, lon, level, hex(got), hex(want))
+
+    check()
