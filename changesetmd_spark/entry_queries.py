@@ -436,6 +436,27 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish tokenizer gate (task brief: whitespace + a BPE-ish
+    regex): per-doc subword count, distinct-subword count, and an
+    order-independent md5-hash checksum of the token multiset — so the
+    tokenizer's exact split (unicode included) is cross-engine
+    verified, not just its count."""
+    docs = load(spark, sf_dir, "documents")
+    toks = text_ops.bpe_tokens(F.col("text"))
+    fp = F.aggregate(
+        F.transform(toks, text_ops.token_hash),
+        F.lit(0).cast("long"),
+        lambda acc, h: acc + h,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_bpe"),
+        fp.alias("bpe_fp"),
+    )
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-k over embeddings (integer-quantized)."""
     emb = load(spark, sf_dir, "embeddings")
@@ -1127,6 +1148,15 @@ ORACLES: dict[str, str] = {
                CAST({text_ops.QUALITY_FEATURES_SQL('text')['stop_ratio_q']} AS BIGINT) AS stop_ratio_q
         FROM documents
     """,
+    "bpe_tokens": f"""
+        SELECT doc_id,
+               CAST(len({text_ops.BPE_TOKENS_SQL('text')}) AS BIGINT) AS n_bpe,
+               CAST(len(list_distinct({text_ops.BPE_TOKENS_SQL('text')})) AS BIGINT) AS n_distinct_bpe,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform({text_ops.BPE_TOKENS_SQL('text')}, t -> {text_ops.TOKEN_HASH_SQL('t')})),
+                    (a, x) -> a + x) AS BIGINT) AS bpe_fp
+        FROM documents
+    """,
     "token_packing": text_ops.PACK_CONTIGUOUS_SQL(2048, 32),
     "corpus_pipeline": f"""
         WITH enriched AS (
@@ -1295,6 +1325,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
     "text_features": q_text_features,
+    "bpe_tokens": q_bpe_tokens,
     "token_packing": q_token_packing,
     "corpus_pipeline": q_corpus_pipeline,
     "cosine_topk": q_cosine_topk,

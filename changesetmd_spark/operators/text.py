@@ -198,3 +198,20 @@ def PACK_CONTIGUOUS_SQL(
                ), 0) / {target_tokens}) AS BIGINT) AS bin_id
         FROM d
     """
+
+
+# BPE-ish regex tokenizer (task brief: "token counting (whitespace + a
+# BPE-ish regex)"): letter runs, single digits, single punctuation —
+# the GPT-2-pretokenizer-shaped split, simplified to character classes
+# whose semantics are identical in Java regex (Spark codegen) and RE2
+# (DuckDB), verified by cross-engine probe incl. unicode.
+BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """array<string> of BPE-ish subword tokens (whole-match group 0)."""
+    return F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0))
+
+
+def BPE_TOKENS_SQL(text: str) -> str:
+    return f"regexp_extract_all({text}, '{BPE_PATTERN}')"
