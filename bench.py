@@ -49,6 +49,9 @@ BENCH_QUERIES = [
     "minhash_lsh",
     "simhash",
     "text_features",
+    "bpe_tokens",
+    "token_packing",
+    "corpus_pipeline",
     "cosine_topk",
     "ann_lsh",
     "ann_ivf",
@@ -57,6 +60,8 @@ BENCH_QUERIES = [
     "audio_features",
     "map_lookup",
     "spatial_wrap",
+    "moving_window",
+    "quantiles",
     "event_windows",
     "sessionize",
     "key_join_rollup",
