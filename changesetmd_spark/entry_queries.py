@@ -815,9 +815,18 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
     df = li.select("l_returnflag", cents.alias("cents"))
     return df.groupBy("l_returnflag").agg(
-        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)").alias("p25"),
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)").alias("p50"),
-        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)").alias("p75"),
+        # .cast("long"): Spark's percentile_disc returns DOUBLE; the oracle
+        # CASTs to BIGINT. Values are identical (both follow the SQL-standard
+        # cume_dist rule) but the driver's value-hash is dtype-strict.
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")
+        .alias("p25"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")
+        .alias("p50"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")
+        .alias("p75"),
         F.count("*").alias("n"),
     )
 

@@ -83,10 +83,19 @@ class IncrementalRollup:
             *[F.col(g) for g in self.group_cols],
             (F.col("n_rows") + F.coalesce(F.col("_cn"), F.lit(0))).alias("n_rows"),
             *[
-                (
-                    F.col(f"sum_{x}")
+                # SQL SUM ignores NULLs and is NULL only when every input is
+                # NULL, so the fold must stay NULL-safe on BOTH sides: a delta
+                # whose values are all NULL (delta sum NULL) must not wipe a
+                # previously accumulated sum, and vice versa.
+                F.when(
+                    F.col(f"sum_{x}").isNull() & F.col(f"_cs_{x}").isNull(),
+                    F.lit(None).cast("decimal(28,6)"),
+                )
+                .otherwise(
+                    F.coalesce(F.col(f"sum_{x}"), F.lit(0).cast("decimal(28,6)"))
                     + F.coalesce(F.col(f"_cs_{x}"), F.lit(0).cast("decimal(28,6)"))
-                ).alias(f"sum_{x}")
+                )
+                .alias(f"sum_{x}")
                 for x in self.sum_cols
             ],
         )

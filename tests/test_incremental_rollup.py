@@ -92,6 +92,44 @@ def test_refuses_nonappend_range_and_full_refresh_recovers(spark, tmp_path):
     assert _got(ru) == _expected(base)
 
 
+def test_all_null_delta_does_not_wipe_accumulated_sum(spark, tmp_path):
+    """SQL SUM ignores NULLs and is NULL only when every input is NULL.
+    A refresh delta whose values for a group are all NULL must leave the
+    previously accumulated sum intact (and vice versa: a NULL prior sum
+    must not poison a non-NULL delta)."""
+    base = SnapStore(spark, str(tmp_path / "facts"), key="fact_id")
+    schema = "fact_id int, grp string, amount double"
+    # g=a starts non-NULL; g=b starts all-NULL
+    base.create(
+        spark.createDataFrame([(1, "a", 10.0), (2, "b", None)], schema)
+    )
+    ru = IncrementalRollup(base, str(tmp_path / "ru"), ["grp"], ["amount"])
+    ru.refresh()
+    # delta: g=a all-NULL (must NOT wipe 10.0); g=b non-NULL (must NOT
+    # stay NULL); g=c all-NULL (brand new, must be NULL like one-shot SUM)
+    base.append(
+        spark.createDataFrame(
+            [(3, "a", None), (4, "b", 7.0), (5, "c", None)], schema
+        )
+    )
+    ru.refresh()
+    got = {
+        r.grp: (r.n_rows, None if r.sum_amount is None else float(r.sum_amount))
+        for r in ru.read().collect()
+    }
+    assert got == {"a": (2, 10.0), "b": (2, 7.0), "c": (1, None)}
+    assert got == {
+        r.grp: (r.n, None if r.s is None else float(r.s))
+        for r in base.read()
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("amount").cast("decimal(28,6)")).alias("s"),
+        )
+        .collect()
+    }
+
+
 def test_null_groups_do_not_collide(spark):
     """Groups differing only in NULL placement (or containing separator
     bytes) must stay distinct — the group key is a JSON-struct hash,
