@@ -18,7 +18,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import TOKEN_HASH_SQL, TOKENS_SQL, token_hash, tokens
+from .text import (
+    TOKEN_HASH_HI_SQL,
+    TOKEN_HASH_SQL,
+    TOKENS_SQL,
+    token_hash,
+    token_hash_hi,
+    tokens,
+)
 
 # MinHash parameters (shared by Spark + oracle SQL)
 N_PERM = 16
@@ -36,11 +43,26 @@ SHINGLE_K = 3
 # the oracle SQL.
 NGRAM_MAX_DF = 200
 
-# SimHash parameters: 32-bit hash, 4 bands × 8 bits, hamming ≤ 3
-SH_BITS = 32
+# SimHash parameters: 64-bit signature (two independent 32-bit md5
+# halves per token), 4 bands × 16 bits, hamming ≤ 3. Band width is THE
+# corpus-scale knob: a random doc pair collides on a band with
+# p = 2^-16, so spurious candidates grow as 4·n²/65536 — the same
+# layout the 64-bit phash path uses below. (Round 2 shipped 32-bit
+# sigs with 8-bit bands: n²/256 candidate pairs — quadratic at 10^9
+# docs.) Bit 63 is carried in two's complement (weight −2^63) so the
+# signature stays an int64 without overflow; band extraction masks
+# after the shift, which yields identical bits for negative sigs in
+# both engines (probed: Spark shiftrightunsigned vs DuckDB arithmetic
+# >> followed by & mask agree).
+SH_BITS = 64
 SH_BANDS = 4
 SH_BAND_BITS = SH_BITS // SH_BANDS
 SH_MAX_HAMMING = 3
+SH_TOP_WEIGHT = -(1 << 63)
+
+
+def _sh_bit_weight(b: int) -> int:
+    return SH_TOP_WEIGHT if b == SH_BITS - 1 else (1 << b)
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -326,29 +348,36 @@ def MINHASH_LSH_SQL(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(text_col) -> object:
-    """32-bit SimHash over distinct token hashes: bit b of the result
-    is 1 iff Σ_tokens (±1 per token's bit b) > 0.
-
-    Single pass over the token array with an array<int> accumulator of
-    per-bit votes (a per-bit aggregate would re-scan the tokens 32×;
-    measured 2× faster at bench scale). The DuckDB oracle computes the
-    same votes per-bit — results are identical, only the fold shape
-    differs."""
-    toks = F.array_distinct(tokens(text_col))
-    hashes = F.transform(toks, token_hash)
-    zero = F.array_repeat(F.lit(0), SH_BITS)
-    # bit b of h via exact power-of-two division (h < 2^32 so h and
-    # h/2^b are double-exact; shiftright() can't take a lambda var)
-    powers = F.array(*[F.lit(float(1 << b)) for b in range(SH_BITS)])
+def _votes32(hashes) -> object:
+    """array<int> of 32 per-bit ±1 vote sums over an array of 32-bit
+    hashes. Single pass with an array accumulator (a per-bit aggregate
+    would re-scan the tokens 32×; measured 2× faster at bench scale).
+    Bit b of h via exact power-of-two division (h < 2^32 so h and
+    h/2^b are double-exact; shiftright() can't take a lambda var)."""
+    zero = F.array_repeat(F.lit(0), 32)
+    powers = F.array(*[F.lit(float(1 << b)) for b in range(32)])
     bits_of = lambda h: F.transform(  # noqa: E731
         powers,
         lambda p: F.when(F.pmod(F.floor(h / p), F.lit(2)) == 1, F.lit(1)).otherwise(F.lit(-1)),
     )
-    votes = F.aggregate(
+    return F.aggregate(
         hashes, zero, lambda acc, h: F.zip_with(acc, bits_of(h), lambda a, v: a + v)
     )
-    weights = F.array(*[F.lit(1 << b).cast("long") for b in range(SH_BITS)])
+
+
+def simhash(text_col) -> object:
+    """64-bit SimHash over distinct token hashes: bit b of the result
+    is 1 iff Σ_tokens (±1 per token's bit b) > 0. Bits 0-31 come from
+    token_hash (md5 chars 1-8), bits 32-63 from token_hash_hi (chars
+    9-16); bit 63 is the sign bit (two's-complement weight −2^63).
+    The DuckDB oracle computes the same votes per-bit — results are
+    identical, only the fold shape differs."""
+    toks = F.array_distinct(tokens(text_col))
+    votes = F.concat(
+        _votes32(F.transform(toks, token_hash)),
+        _votes32(F.transform(toks, token_hash_hi)),
+    )
+    weights = F.array(*[F.lit(_sh_bit_weight(b)).cast("long") for b in range(SH_BITS)])
     return F.aggregate(
         F.zip_with(votes, weights, lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long"))),
         F.lit(0).cast("long"),
@@ -357,20 +386,26 @@ def simhash(text_col) -> object:
 
 
 def SIMHASH_SQL(text: str) -> str:
+    """Scalar oracle twin of ``simhash`` (one expression per row; the
+    gate's set-based twin is SIMHASH_SIGS_SQL — same bits)."""
     toks = f"list_distinct({TOKENS_SQL(text)})"
-    hashes = f"list_transform({toks}, t -> {TOKEN_HASH_SQL('t')})"
+    h_lo = f"list_transform({toks}, t -> {TOKEN_HASH_SQL('t')})"
+    h_hi = f"list_transform({toks}, t -> {TOKEN_HASH_HI_SQL('t')})"
     parts = []
     for b in range(SH_BITS):
+        hashes = h_lo if b < 32 else h_hi
         bs = (
             f"list_reduce(list_prepend(0, list_transform({hashes}, "
-            f"h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)), (a, x) -> a + x)"
+            f"h -> CASE WHEN (h >> {b % 32}) & 1 = 1 THEN 1 ELSE -1 END)), (a, x) -> a + x)"
         )
-        parts.append(f"(CASE WHEN {bs} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)")
+        parts.append(
+            f"(CASE WHEN {bs} > 0 THEN CAST({_sh_bit_weight(b)} AS BIGINT) ELSE 0 END)"
+        )
     return "(" + " + ".join(parts) + ")"
 
 
 def simhash_sigs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, sig): SimHash signatures via explode + 32 codegen'd
+    """(id, sig): SimHash signatures via explode + 64 codegen'd
     conditional-sum aggregates (map-side partial combine, one shuffle
     on id). Identical bits to the ``simhash`` column expression, but
     the per-token work runs inside whole-stage codegen — Spark's
@@ -380,18 +415,23 @@ def simhash_sigs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     left join."""
     toks = F.array_distinct(tokens(F.col(text_col)))
     ex = docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("_t")).select(
-        "id", token_hash(F.col("_t")).alias("_h")
+        "id", token_hash(F.col("_t")).alias("_h1"), token_hash_hi(F.col("_t")).alias("_h2")
     )
     votes = [
         F.sum(
-            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col("_h1" if b < 32 else "_h2"), b % 32)
+                .bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"_v{b}")
         for b in range(SH_BITS)
     ]
     agg = ex.groupBy("id").agg(*votes)
     sig = None
     for b in range(SH_BITS):
-        term = F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+        term = F.when(F.col(f"_v{b}") > 0, F.lit(_sh_bit_weight(b)).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         sig = term if sig is None else sig + term
@@ -403,23 +443,42 @@ def simhash_sigs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def SIMHASH_SIGS_SQL(id_col: str = "doc_id", text_col: str = "text", table: str = "documents") -> str:
+    """Set-based oracle twin of ``simhash_sigs``: unnest tokens, 64
+    conditional vote sums per doc, fold to one BIGINT. Mirrors the
+    Spark dataflow (and is ~SH_BITS× cheaper than inlining the scalar
+    SIMHASH_SQL per row)."""
+    toks = f"list_distinct({TOKENS_SQL(text_col)})"
+    vote_cols = ", ".join(
+        f"SUM(CASE WHEN ({'h1' if b < 32 else 'h2'} >> {b % 32}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SH_BITS)
+    )
+    sig_expr = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({_sh_bit_weight(b)} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SH_BITS)
+    )
+    return f"""
+        WITH ex AS (
+            SELECT id, {TOKEN_HASH_SQL('t')} AS h1, {TOKEN_HASH_HI_SQL('t')} AS h2
+            FROM (SELECT {id_col} AS id, unnest({toks}) AS t FROM {table})
+        ),
+        votes AS (SELECT id, {vote_cols} FROM ex GROUP BY id),
+        sigd AS (SELECT id, {sig_expr} AS sig FROM votes)
+        SELECT t.id, COALESCE(s.sig, 0) AS sig
+        FROM (SELECT {id_col} AS id FROM {table}) t
+        LEFT JOIN sigd s USING (id)
+    """
 
-def _banded_hamming_pairs(
-    sigs: DataFrame,
-    n_bands: int,
-    band_bits: int,
-    max_hamming: int,
-    a_name: str,
-    b_name: str,
-) -> DataFrame:
-    """Shared band-LSH hamming machinery (SimHash over text, phash over
-    images — any int64 signature family): explode each (id, sig) into
-    its bands, candidates = band equi-join (pigeonhole: hamming <
-    n_bands ⇒ some band matches exactly), refine bit_count(xor) ≤ d.
-    Signatures must be non-negative (all families here are < 2^63)."""
-    if not max_hamming < n_bands:
-        raise ValueError("pigeonhole requires max_hamming < n_bands")
-    bands = sigs.select(
+
+
+def band_keys(sigs: DataFrame, n_bands: int, band_bits: int) -> DataFrame:
+    """(id, sig, band, bits): each int64 signature exploded into its
+    LSH band bucket keys. Works for negative sigs too (a 64-bit family
+    uses bit 63 in two's complement): shiftrightunsigned + mask yields
+    the same band bits as DuckDB's arithmetic ``>>`` + mask."""
+    return sigs.select(
         "id",
         "sig",
         F.explode(
@@ -436,6 +495,23 @@ def _banded_hamming_pairs(
             )
         ).alias("bd"),
     ).select("id", "sig", F.col("bd.band").alias("band"), F.col("bd.bits").alias("bits"))
+
+
+def _banded_hamming_pairs(
+    sigs: DataFrame,
+    n_bands: int,
+    band_bits: int,
+    max_hamming: int,
+    a_name: str,
+    b_name: str,
+) -> DataFrame:
+    """Shared band-LSH hamming machinery (SimHash over text, phash over
+    images — any int64 signature family): explode each (id, sig) into
+    its bands, candidates = band equi-join (pigeonhole: hamming <
+    n_bands ⇒ some band matches exactly), refine bit_count(xor) ≤ d."""
+    if not max_hamming < n_bands:
+        raise ValueError("pigeonhole requires max_hamming < n_bands")
+    bands = band_keys(sigs, n_bands, band_bits)
     a = bands.alias("a")
     b = bands.alias("b")
     cands = (
@@ -487,7 +563,7 @@ def simhash_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance ≤ d — the shared
-    band-LSH machinery over the 32-bit text signatures. Returns
+    band-LSH machinery over the 64-bit text signatures. Returns
     (doc_a, doc_b, hamming)."""
     # NOT checkpointed: measured slower than recompute here — the two
     # consumers pipeline into one codegen stage each (see module notes)
@@ -503,7 +579,7 @@ def SIMHASH_PAIRS_SQL(
     text_col: str = "text",
     table: str = "documents",
 ) -> str:
-    sigs = f"SELECT {id_col} AS id, {SIMHASH_SQL(text_col)} AS sig FROM {table}"
+    sigs = SIMHASH_SIGS_SQL(id_col, text_col, table)
     return _BANDED_HAMMING_SQL(sigs, SH_BANDS, SH_BAND_BITS, max_hamming, "doc_a", "doc_b")
 
 

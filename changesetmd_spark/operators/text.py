@@ -59,6 +59,17 @@ def TOKEN_HASH_SQL(tok: str) -> str:
     return f"CAST(('0x' || substr(md5({tok}), 1, 8)) AS BIGINT)"
 
 
+def token_hash_hi(tok: Column) -> Column:
+    """Second independent 32-bit token hash (md5 hex chars 9-16) —
+    paired with token_hash to give 64 independent bits per token for
+    the 64-bit SimHash family."""
+    return F.conv(F.substring(F.md5(tok), 9, 8), 16, 10).cast("long")
+
+
+def TOKEN_HASH_HI_SQL(tok: str) -> str:
+    return f"CAST(('0x' || substr(md5({tok}), 9, 8)) AS BIGINT)"
+
+
 def fingerprint(text: Column) -> Column:
     """Rolling polynomial document fingerprint: left fold of token
     hashes, acc·31 + h (mod FP_MOD)."""

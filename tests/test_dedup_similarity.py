@@ -92,6 +92,64 @@ def test_simhash_exact_copies_have_zero_hamming(spark, docs):
     assert (0, 1) in z and (4, 5) in z and (8, 9) in z
 
 
+def test_simhash_scalar_set_and_oracle_parity(spark, docs):
+    """The three SimHash formulations must agree bit-for-bit: the
+    definitional column expression (simhash), the codegen'd production
+    path (simhash_sigs), DuckDB's scalar twin (SIMHASH_SQL) and its
+    set-based twin (SIMHASH_SIGS_SQL). Pins the 64-bit layout incl.
+    the two's-complement top bit across engines."""
+    import duckdb
+
+    expr = {
+        r.id: r.sig
+        for r in docs.select(
+            F.col("doc_id").alias("id"), dedup.simhash(F.col("text")).alias("sig")
+        ).collect()
+    }
+    sigs = {r.id: r.sig for r in dedup.simhash_sigs(docs).collect()}
+    assert expr == sigs
+    # at least one doc must exercise the sign bit, else the top-weight
+    # path is untested
+    assert any(v < 0 for v in sigs.values())
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    scalar = {
+        i: s
+        for i, s in con.execute(
+            f"SELECT doc_id, {dedup.SIMHASH_SQL('text')} FROM documents"
+        ).fetchall()
+    }
+    setb = {
+        i: s
+        for i, s in con.execute(dedup.SIMHASH_SIGS_SQL()).fetchall()
+    }
+    assert scalar == sigs and setb == sigs
+
+
+def test_simhash_band_collisions_stay_linear_on_random_corpus(spark):
+    """The 100 TB guard the 64-bit widening buys: on a corpus of
+    mutually-unrelated docs, LSH band buckets must produce ~no
+    candidate pairs (expected 4·C(n,2)/2^16 ≈ 3 at n=300 — the round-2
+    8-bit bands would give ~700)."""
+    rows = [
+        (i, f"uniq{i * 7919} tok{i * 104729} word{i * 1299709} tail{i}")
+        for i in range(300)
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sigs = dedup.simhash_sigs(docs)
+    buckets = (
+        dedup.band_keys(sigs, dedup.SH_BANDS, dedup.SH_BAND_BITS)
+        .groupBy("band", "bits")
+        .agg(F.count("*").alias("c"))
+        .select((F.col("c") * (F.col("c") - 1) / 2).alias("pairs"))
+        .agg(F.sum("pairs").alias("total"))
+        .collect()[0]
+        .total
+    )
+    assert buckets <= 30, f"band-collision candidates not linear: {buckets}"
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rng = np.random.default_rng(42)
