@@ -471,6 +471,50 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.ann_lsh_topk(queries, emb, k=10)
 
 
+def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ planted near-duplicates: for vec_id < 50, a copy at
+    id+100000 with element 0 scaled ×1.05 (cos ≈ 0.999+). The testdata
+    embeddings are near-orthogonal random vectors (max pair cosine
+    ≈ 0.51), so without planting the near-dup gate would only verify
+    empty == empty. The perturbation is IEEE-exact cross-engine:
+    double(float x) · 1.05 in both engines, quantized identically."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding")[0].cast("double") * F.lit(1.05)),
+            F.transform(
+                F.slice(F.col("embedding"), 2, sim_ops.DIM - 1),
+                lambda x: x.cast("double"),
+            ),
+        ).alias("embedding"),
+    )
+    return emb.select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    ).unionByName(dup)
+
+
+_AUG_EMBED_SQL = """(
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id,
+           list_concat(
+               [CAST(embedding[1] AS DOUBLE) * 1.05],
+               list_transform(embedding[2:], x -> CAST(x AS DOUBLE))
+           ) AS embedding
+    FROM embeddings WHERE vec_id < 50
+) aug"""
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over the augmented table —
+    PAIR-layout LSH self-join + exact quantized-cosine refine."""
+    return sim_ops.embed_neardup_pairs(
+        _augmented_embeddings(spark, sf_dir), threshold_q=990_000
+    )
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (inverted-file lists, deterministic centroids, nprobe
     probing) — the second ANN index family beside hyperplane LSH."""
@@ -1186,6 +1230,7 @@ ORACLES: dict[str, str] = {
     """,
     "cosine_topk": sim_ops.COSINE_TOPK_SQL(10, "vec_id < 20"),
     "ann_lsh": sim_ops.ANN_LSH_SQL(10, "vec_id < 20"),
+    "embed_neardup": sim_ops.EMBED_NEARDUP_SQL(990_000, table=_AUG_EMBED_SQL),
     "ann_ivf": sim_ops.ANN_IVF_SQL(10, "vec_id < 20"),
     "image_decode": """
         WITH ph AS (
@@ -1339,6 +1384,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pipeline": q_corpus_pipeline,
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
+    "embed_neardup": q_embed_neardup,
     "ann_ivf": q_ann_ivf,
     "image_decode": q_image_decode,
     "image_embed": q_image_embed,

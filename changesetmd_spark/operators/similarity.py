@@ -31,9 +31,24 @@ QUANT = 1_000_000  # element quantization
 # hash tables of BITS sign-bits each. One monolithic table would be so
 # selective that nothing shares a bucket; multiple small tables give
 # recall ≈ 1-(1-p^BITS)^TABLES for per-plane agreement p.
+#
+# TWO key layouts, because the two consumers have different blowup
+# modes:
+# - topk (LSH_TABLES×LSH_BITS = 8×6): the query side is broadcast-
+#   small, candidates are O(n·|Q|/2^6) — narrow buckets maximize
+#   recall and the join can't go quadratic.
+# - near-dup PAIRS (PAIR_TABLES×PAIR_BITS = 8×16): a full SELF-join on
+#   the bucket key — 6-bit buckets would give ~8·n²/64 random-pair
+#   candidates (the round-2 scale flag). 16-bit buckets drop spurious
+#   collisions to 8·n²/65536 while true near-dups (cos ≥ 0.99 ⇒
+#   per-plane agreement p ≳ 0.955) still share a table with
+#   1-(1-p^16)^8 ≈ 0.995+ probability.
 LSH_TABLES = 8
 LSH_BITS = 6
 N_PLANES = LSH_TABLES * LSH_BITS
+PAIR_TABLES = 8
+PAIR_BITS = 16
+PAIR_PLANE_BASE = 1000  # independent md5 plane namespace from topk's 0..47
 DIM = 64  # embeddings table dimension
 
 
@@ -172,36 +187,45 @@ def plane_sign(plane: int, dim_idx: int) -> int:
     return 1 if h[0] % 2 == 0 else -1
 
 
-def _planes_matrix() -> np.ndarray:
+def _planes_matrix(n_planes: int = N_PLANES, base: int = 0) -> np.ndarray:
     return np.array(
-        [[plane_sign(p, d) for d in range(DIM)] for p in range(N_PLANES)],
+        [[plane_sign(base + p, d) for d in range(DIM)] for p in range(n_planes)],
         dtype=np.int64,
-    )  # (N_PLANES, DIM)
+    )  # (n_planes, DIM)
 
 
-def lsh_table_keys(vec_q: Column) -> Column:
-    """array<long> of LSH_TABLES keys: key_t = t·2^BITS + bits_t where
-    bits_t packs the table's BITS sign-bits. Sharing ANY key makes a
-    candidate pair (OR-amplification).
+def lsh_table_keys(
+    vec_q: Column,
+    tables: int = LSH_TABLES,
+    bits: int = LSH_BITS,
+    plane_base: int = 0,
+) -> Column:
+    """array<long> of ``tables`` keys: key_t = t·2^(bits+1) + bits_t
+    where bits_t packs the table's ``bits`` sign-bits. Sharing ANY key
+    makes a candidate pair (OR-amplification). Defaults are the topk
+    layout; the pairs layout passes (PAIR_TABLES, PAIR_BITS,
+    PAIR_PLANE_BASE).
 
     Computed in ONE Arrow pandas UDF as an exact int64 matrix multiply
-    (n, DIM) @ (DIM, N_PLANES) — the 48 per-plane expression folds this
+    (n, DIM) @ (DIM, n_planes) — the 48 per-plane expression folds this
     replaces were ~10× slower at bench scale; bucket values are
     bit-identical (integer arithmetic), so the SQL oracle
     (LSH_TABLE_KEYS_SQL) still matches exactly."""
+    n_planes = tables * bits
+
     @F.pandas_udf(ArrayType(LongType()))
     def _keys(vecs: pd.Series) -> pd.Series:
-        planes = _planes_matrix().T  # (DIM, N_PLANES)
+        planes = _planes_matrix(n_planes, plane_base).T  # (DIM, n_planes)
         m = np.stack(vecs.to_numpy())  # (n, DIM) int64 quantized
         proj = m @ planes  # exact int64
-        bits = (proj >= 0).astype(np.int64)  # (n, N_PLANES)
-        weights = np.array([1 << (i % LSH_BITS) for i in range(N_PLANES)], dtype=np.int64)
-        weighted = bits * weights
-        keys = np.zeros((m.shape[0], LSH_TABLES), dtype=np.int64)
-        for t in range(LSH_TABLES):
+        sbits = (proj >= 0).astype(np.int64)  # (n, n_planes)
+        weights = np.array([1 << (i % bits) for i in range(n_planes)], dtype=np.int64)
+        weighted = sbits * weights
+        keys = np.zeros((m.shape[0], tables), dtype=np.int64)
+        for t in range(tables):
             keys[:, t] = (
-                weighted[:, t * LSH_BITS:(t + 1) * LSH_BITS].sum(axis=1)
-                + (t << (LSH_BITS + 1))
+                weighted[:, t * bits:(t + 1) * bits].sum(axis=1)
+                + (t << (bits + 1))
             )
         return pd.Series(list(keys))
 
@@ -214,14 +238,19 @@ def _PLANE_BIT_SQL(vec_q: str, p: int) -> str:
     return f"(CASE WHEN {proj} >= 0 THEN 1 ELSE 0 END)"
 
 
-def LSH_TABLE_KEYS_SQL(vec_q: str) -> str:
+def LSH_TABLE_KEYS_SQL(
+    vec_q: str,
+    tables: int = LSH_TABLES,
+    bits: int = LSH_BITS,
+    plane_base: int = 0,
+) -> str:
     keys = []
-    for t in range(LSH_TABLES):
-        bits = " + ".join(
-            f"{_PLANE_BIT_SQL(vec_q, t * LSH_BITS + i)} * {1 << i}"
-            for i in range(LSH_BITS)
+    for t in range(tables):
+        bit_sum = " + ".join(
+            f"{_PLANE_BIT_SQL(vec_q, plane_base + t * bits + i)} * {1 << i}"
+            for i in range(bits)
         )
-        keys.append(f"CAST({t << (LSH_BITS + 1)} + {bits} AS BIGINT)")
+        keys.append(f"CAST({t << (bits + 1)} + {bit_sum} AS BIGINT)")
     return "[" + ", ".join(keys) + "]"
 
 
@@ -542,11 +571,21 @@ def embed_neardup_pairs(
     """Embedding-cosine near-duplicate pairs (task brief dedup family):
     LSH-table candidates (pairs sharing ≥1 table bucket — near-parallel
     vectors almost surely do) + exact quantized-cosine refine ≥ τ.
-    Undirected, emitted once with vec_a < vec_b. At high τ (≥0.95) the
-    multi-table recall is ~1-(1-p^BITS)^TABLES ≈ 0.998; recall is
-    property-tested on planted duplicates."""
+    Undirected, emitted once with vec_a < vec_b.
+
+    Uses the PAIRS key layout (PAIR_TABLES×PAIR_BITS = 8×16-bit
+    tables), NOT topk's 8×6: this operator SELF-joins the whole table
+    on the bucket, so random-pair collisions must be ~n²/2^16 per
+    table, not n²/2^6 (candidate growth is asserted linear in tests on
+    a random corpus). True near-dups (cos ≥ 0.99) still collide with
+    p ≈ 1-(1-p_plane^16)^8 ≳ 0.995; recall is property-tested on
+    planted duplicates and the full algorithm is oracle-gated
+    (EMBED_NEARDUP_SQL)."""
     v = _prep(vectors, id_col, vec_col, "v_").withColumn(
-        "bucket", F.explode(lsh_table_keys(F.col("v_vec")))
+        "bucket",
+        F.explode(
+            lsh_table_keys(F.col("v_vec"), PAIR_TABLES, PAIR_BITS, PAIR_PLANE_BASE)
+        ),
     )
     a = v.select(
         F.col("bucket"),
@@ -570,3 +609,36 @@ def embed_neardup_pairs(
         cand.select("vec_a", "vec_b", sim.alias("cos_sim_q"))
         .filter(F.col("cos_sim_q") >= threshold_q)
     )
+
+
+def EMBED_NEARDUP_SQL(
+    threshold_q: int = 950_000,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+) -> str:
+    """Oracle twin of ``embed_neardup_pairs``: same quantization, same
+    PAIR-layout bucket keys (plane signs baked as literals), same
+    bucket self-join + exact cosine refine. ``table`` may be any
+    relation/subquery exposing (id_col, vec_col)."""
+    qv = QUANTIZED_SQL(vec_col)
+    keys = LSH_TABLE_KEYS_SQL(qv, PAIR_TABLES, PAIR_BITS, PAIR_PLANE_BASE)
+    return f"""
+        WITH pre AS (
+            SELECT {id_col} AS id, {qv} AS vec,
+                   {DOT_INT_SQL(qv, qv)} AS n2,
+                   {keys} AS keys
+            FROM {table}
+        ),
+        bk AS (SELECT id, vec, n2, unnest(keys) AS bucket FROM pre),
+        cand AS (
+            SELECT DISTINCT a.id AS vec_a, b.id AS vec_b,
+                   a.vec AS va, a.n2 AS na, b.vec AS vb, b.n2 AS nb
+            FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id < b.id
+        )
+        SELECT vec_a, vec_b,
+               {COS_Q_SQL(DOT_INT_SQL("va", "vb"), "na", "nb")} AS cos_sim_q
+        FROM cand
+        WHERE {COS_Q_SQL(DOT_INT_SQL("va", "vb"), "na", "nb")} >= {threshold_q}
+    """

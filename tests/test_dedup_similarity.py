@@ -268,3 +268,49 @@ def test_embed_neardup_finds_planted_pairs(spark):
     assert {(0, 250), (10, 260), (20, 270)} <= got
     # random non-dup vectors must NOT appear (max random cos ≪ 0.95)
     assert len(got) == 3
+
+
+def test_embed_neardup_recall_on_many_planted_pairs(spark):
+    """Recall ≥ 0.99 over 100 planted near-dup pairs with the wide
+    PAIR-layout keys (the round-3 re-key must not cost recall)."""
+    rng = np.random.default_rng(7)
+    v = rng.normal(size=(400, 64)).astype(np.float32)
+    planted = [(i, 200 + i) for i in range(100)]
+    for a, b in planted:
+        v[b] = v[a] + rng.normal(scale=0.005, size=64).astype(np.float32)
+    vecs = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(400), "embedding": [r.tolist() for r in v]})
+    )
+    out = similarity.embed_neardup_pairs(vecs, threshold_q=950_000).toPandas()
+    got = {(a, b) for a, b in zip(out.vec_a, out.vec_b)}
+    hits = sum(1 for p in planted if p in got)
+    assert hits >= 99, f"recall {hits}/100"
+
+
+def test_embed_pair_bucket_collisions_stay_linear_on_random_corpus(spark):
+    """The 100 TB guard the pairs re-key buys: on mutually-unrelated
+    random vectors, the PAIR-layout buckets must produce ~no candidate
+    pairs (expected 8·C(n,2)/2^16 ≈ 7 at n=400; topk's 6-bit layout
+    would give ~5600 — the round-2 scale flag)."""
+    rng = np.random.default_rng(11)
+    v = rng.normal(size=(400, 64)).astype(np.float32)
+    vecs = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(400), "embedding": [r.tolist() for r in v]})
+    )
+    q = similarity.quantized(F.col("embedding"))
+    keyed = vecs.select(
+        F.explode(
+            similarity.lsh_table_keys(
+                q, similarity.PAIR_TABLES, similarity.PAIR_BITS, similarity.PAIR_PLANE_BASE
+            )
+        ).alias("bucket")
+    )
+    total = (
+        keyed.groupBy("bucket")
+        .agg(F.count("*").alias("c"))
+        .select((F.col("c") * (F.col("c") - 1) / 2).alias("pairs"))
+        .agg(F.sum("pairs").alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert total <= 80, f"pair-bucket candidates not linear: {total}"
