@@ -177,10 +177,14 @@ class FileReplicationSource:
         # the window); the reference applies rows in document order so
         # the last occurrence wins — a distributed scan has no stable
         # document order, so keep the most-advanced state per id
-        # deterministically instead (latest closed_at, then largest
-        # num_changes).
+        # deterministically instead: latest closed_at, then CLOSED
+        # beats OPEN (a closed row is strictly later lifecycle than an
+        # open one at the same closed_at — covers diffs where the
+        # fields aren't monotone), then largest num_changes.
         w = Window.partitionBy("id").orderBy(
-            F.desc_nulls_last("closed_at"), F.desc_nulls_last("num_changes")
+            F.desc_nulls_last("closed_at"),
+            F.asc_nulls_last("open"),
+            F.desc_nulls_last("num_changes"),
         )
         return (
             batch.withColumn("_rn", F.row_number().over(w))

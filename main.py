@@ -25,7 +25,11 @@ import sys
 from changesetmd_spark import entry_queries as EQ
 from changesetmd_spark.session import get_spark
 from changesetmd_spark.sources import xml_ingest as xi
-from changesetmd_spark.sources.replication import SyntheticReplicationSource, replicate
+from changesetmd_spark.sources.replication import (
+    FileReplicationSource,
+    SyntheticReplicationSource,
+    replicate,
+)
 from changesetmd_spark.sources.snapstore import SnapStore
 
 
@@ -51,6 +55,13 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--root", required=True)
     pr.add_argument("--fromseq", type=int, default=None)
     pr.add_argument("--toseq", type=int, default=None)
+    pr.add_argument(
+        "--base", default=None,
+        help="replication endpoint base (file:///dir or a directory) "
+             "speaking the reference wire protocol — state.yaml head + "
+             "AAA/BBB/CCC.osm.gz diffs (reference -r --url, "
+             "changesetmd.py:518-520); omitted = synthetic source",
+    )
 
     pq = sub.add_parser("query", help="run a named engine query")
     pq.add_argument("name", choices=sorted(EQ.QUERIES))
@@ -104,7 +115,10 @@ def main(argv: list[str] | None = None) -> int:
                 f"{lin.rows_per_s:.0f} rows/s), comments snapshot {s2}"
             )
         elif args.cmd == "replicate":
-            src = SyntheticReplicationSource(spark)
+            if args.base:
+                src = FileReplicationSource(spark, args.base)
+            else:
+                src = SyntheticReplicationSource(spark)
             out = replicate(
                 store, src, comments_store=comments,
                 from_seq=args.fromseq, to_seq=args.toseq,
