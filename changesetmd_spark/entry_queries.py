@@ -324,7 +324,13 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("min_lat") + F.col("max_lat")) / F.lit(2.0)).alias("q_lat"),
         ((F.col("min_lon") + F.col("max_lon")) / F.lit(2.0)).alias("q_lon"),
     )
-    out = knn_ops.knn_join_safe(queries, points, k=5, res=2, rings=4)
+    # (res=3, rings=3): 37 cells/query (vs 61 at round-2's res=2/
+    # rings=4) with a 73.5 km equator guarantee — measured best
+    # exact config across densities (sf0.1: ~4.1s vs 5.8s; sf0.01:
+    # ~2.5s; res≥5 or rings<2 shrink the guarantee enough that the
+    # exact fallback dominates at sparse density). Results identical
+    # across configs by the safe-join certificate.
+    out = knn_ops.knn_join_safe(queries, points, k=5, res=3, rings=3)
     return out.select(
         "query_id",
         "point_id",

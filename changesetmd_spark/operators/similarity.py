@@ -394,6 +394,45 @@ def _centroid_frame(spark, cents: list[tuple[int, list[int]]]) -> DataFrame:
     )
 
 
+def _weighted_greedy_seeds(
+    cand: list[list[int]], weights: dict[int, int], k: int
+) -> list[tuple[int, list[int]]]:
+    """Driver-side reduction of the k-means|| candidate set (≤ 1+R·l
+    vectors × DIM — tiny) to k seeds: start from the heaviest
+    candidate, then greedily add the candidate maximizing
+    weight · (1 − cos to nearest chosen) — the weighted analog of
+    kmeans++'s w·d² rule, deterministic (ties → smaller index).
+    Duplicate candidate vectors can never be picked twice (their
+    distance term is 0), so k distinct seeds come out whenever the
+    data has k distinct vectors among the candidates."""
+    import math as _m
+
+    def _cos(a: list[int], b: list[int]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = _m.sqrt(sum(x * x for x in a)) or 1.0
+        nb = _m.sqrt(sum(x * x for x in b)) or 1.0
+        return d / (na * nb)
+
+    w = [weights.get(i, 0) for i in range(len(cand))]
+    start = max(range(len(cand)), key=lambda i: (w[i], -i))
+    chosen = [start]
+    nearest = [1.0 - _cos(c, cand[start]) for c in cand]
+    while len(chosen) < min(k, len(cand)):
+        nxt = max(
+            (i for i in range(len(cand)) if i not in chosen),
+            key=lambda i: (w[i] * nearest[i], -i),
+        )
+        chosen.append(nxt)
+        for i in range(len(cand)):
+            nearest[i] = min(nearest[i], 1.0 - _cos(cand[i], cand[nxt]))
+    # degenerate pad (fewer candidates than k): reuse the last seed —
+    # Lloyd's keeps empty clusters' previous centers, so extras are
+    # harmless placeholders
+    while len(chosen) < k:
+        chosen.append(chosen[-1])
+    return [(j, list(cand[i])) for j, i in enumerate(chosen)]
+
+
 def kmeans_fit(
     vectors: DataFrame,
     k: int = 16,
@@ -412,31 +451,58 @@ def kmeans_fit(
     and recompute means on the driver (k·DIM longs — bounded by k, not
     by data, exactly like any k-means keeps its centers driver-side).
 
-    Init is deterministic farthest-point (maximin): start from the
-    smallest id, then k−1 times add the vector with the lowest
-    max-cosine to the chosen set (ties → smaller id) — one bounded
-    aggregate per pick, and unlike first-k init it cannot drop two
-    seeds into one cluster of well-separated data. Quantized integer
+    Init is deterministic k-means|| (Bahmani et al., VLDB'12) with a
+    hash in place of the RNG: a constant number of oversampling
+    rounds — NOT k−1 sequential farthest-point passes (the round-2
+    shape, O(k) driver round-trips). Each round scores every vector's
+    cosine distance to the current candidate set and keeps vector x
+    with "probability" l·d(x)/φ, decided by xxhash64(v_id, round)
+    instead of a random draw — blob-proportional coverage like the
+    randomized original, bit-identical across runs. A final pass
+    weights each candidate by its assignment count, then a driver-side
+    weighted greedy (max weight·distance-to-chosen) reduces the ≤1+R·l
+    candidates to k seeds. Total distributed init cost: 2 slim passes
+    per round + 1 weight pass, independent of k. Quantized integer
     arithmetic + floor-division means keep every run bit-identical;
     empty clusters keep their previous center. Iterative ⇒ not
     SQL-expressible; verified by convergence property tests."""
     spark = vectors.sparkSession
     v = _prep(vectors, id_col, vec_col, "v_")
     first = v.orderBy("v_id").limit(1).collect()[0]
-    cents = [(0, [int(x) for x in first["v_vec"]])]
-    for nxt in range(1, k):
-        cdf = _centroid_frame(spark, cents)
+    cand = [[int(x) for x in first["v_vec"]]]
+    rounds, ell = 3, 2 * k
+    for rnd in range(rounds):
+        cdf = _centroid_frame(spark, list(enumerate(cand)))
         sim = cos_q(dot_int(F.col("v_vec"), F.col("c_vec")), F.col("v_n2"), F.col("c_n2"))
-        far = (
+        scored = (
             v.crossJoin(F.broadcast(cdf))
             .withColumn("_csim", sim)
             .groupBy("v_id")
             .agg(F.max("_csim").alias("_near"), F.any_value("v_vec").alias("_vec"))
-            .orderBy(F.asc("_near"), F.asc("v_id"))
-            .limit(1)
-            .collect()[0]
+            .withColumn("_dist", F.lit(QUANT).cast("long") - F.col("_near"))
+            .localCheckpoint()  # slim (id, dist, vec); re-read by φ-agg + filter
         )
-        cents.append((nxt, [int(x) for x in far["_vec"]]))
+        phi = scored.agg(F.sum("_dist")).collect()[0][0] or 0
+        if phi <= 0:
+            break  # every vector already coincides with a candidate
+        # keep x iff u(x) < l·d(x)/φ with u = hash-uniform in [0,1)
+        u = (F.pmod(F.xxhash64(F.col("v_id"), F.lit(rnd)), F.lit(1_000_000))) / 1_000_000.0
+        kept = (
+            scored.filter(u * F.lit(float(phi)) < F.lit(float(ell)) * F.col("_dist"))
+            .orderBy("v_id")
+            .collect()
+        )
+        cand.extend([int(x) for x in r["_vec"]] for r in kept)
+    # weight pass: how many vectors each candidate would own
+    cdf = _centroid_frame(spark, list(enumerate(cand)))
+    weights = {
+        r.ivf_cell: r.w
+        for r in ivf_assign_lists(v, cdf)
+        .groupBy("ivf_cell")
+        .agg(F.count("*").alias("w"))
+        .collect()
+    }
+    cents = _weighted_greedy_seeds(cand, weights, k)
     dim = len(cents[0][1])
     for _ in range(iters):
         cdf = _centroid_frame(spark, cents)

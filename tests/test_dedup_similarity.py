@@ -254,6 +254,21 @@ def test_kmeans_recovers_planted_blobs_and_boosts_ivf(spark):
     assert hits_trained >= hits_naive
 
 
+def test_weighted_greedy_seeds_spread_and_pad():
+    """Driver-side k-means|| reduction: seeds spread across separated
+    candidate groups by weight·distance, duplicates never picked while
+    distinct candidates remain, and k > |candidates| pads."""
+    a, b, c = [1000] * 64, [-1000] * 64, [1000] * 32 + [-1000] * 32
+    cand = [a, a, b, c]
+    w = {0: 50, 1: 50, 2: 30, 3: 20}
+    seeds = similarity._weighted_greedy_seeds(cand, w, 3)
+    assert [s[0] for s in seeds] == [0, 1, 2]
+    vecs = [s[1] for s in seeds]
+    assert a in vecs and b in vecs and c in vecs  # one per group, no dup-of-a
+    padded = similarity._weighted_greedy_seeds([a], {0: 1}, 3)
+    assert len(padded) == 3 and all(v == a for _, v in padded)
+
+
 def test_embed_neardup_finds_planted_pairs(spark):
     rng = np.random.default_rng(99)
     v = rng.normal(size=(300, 64)).astype(np.float32)
