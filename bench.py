@@ -55,8 +55,10 @@ BENCH_QUERIES = [
     "cosine_topk",
     "ann_lsh",
     "ann_ivf",
+    "embed_neardup",
     "image_decode",
     "image_embed",
+    "video_frames",
     "audio_features",
     "map_lookup",
     "spatial_wrap",

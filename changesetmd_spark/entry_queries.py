@@ -590,6 +590,93 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-payload gate: synthesize 4-frame FKIM 'videos' (4×4×3
+    pixels per frame, one stacked payload per order phash), sample
+    every 2nd frame (multimodal.frame_sample — the 1:N Arrow unnest a
+    real demuxer would slot into), decode each sampled frame and emit
+    its pixel stats. The oracle reproduces per-frame stats in closed
+    form from the phash pixel rule, so the encode → sample → re-encode
+    → decode chain is cross-engine verified end-to-end."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from changesetmd_spark import synth
+    from changesetmd_spark.operators import multimodal
+
+    W = H = 4
+    FRAMES = 4
+
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = orders.select(
+        F.format_string("img%012d", k).alias("image_id"),
+        orders_phash(k).alias("phash"),
+    )
+    enc_schema = StructType(
+        [
+            StructField("image_id", StringType(), False),
+            StructField("bytes", BinaryType(), False),
+        ]
+    )
+
+    def encode(batches):
+        header = bytes(multimodal.MAGIC) + bytes([0]) + W.to_bytes(2, "big") + H.to_bytes(2, "big")
+        for pdf in batches:
+            # one payload of FRAMES stacked w×h×3 frames: pixel k of the
+            # flat payload follows the shared pixels_for_phash rule
+            px = synth.pixels_for_phash(pdf["phash"].to_numpy(), W, H * FRAMES)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "bytes": [header + row.tobytes() for row in px],
+                }
+            )
+
+    videos = base.mapInPandas(encode, enc_schema)
+    frames = multimodal.frame_sample(videos, every_nth=2)
+    stats = multimodal.decode_stats(
+        frames.select(
+            F.concat(F.col("image_id"), F.lit("#"), F.col("frame_idx").cast("string")).alias(
+                "image_id"
+            ),
+            "bytes",
+        )
+    )
+    return stats.select(
+        F.substring_index(F.col("image_id"), "#", 1).alias("image_id"),
+        F.substring_index(F.col("image_id"), "#", -1).cast("long").alias("frame_idx"),
+        F.col("w").cast("long").alias("w"),
+        F.col("h").cast("long").alias("h"),
+        "pixel_sum",
+        F.col("pixel_min").cast("long").alias("pixel_min"),
+        F.col("pixel_max").cast("long").alias("pixel_max"),
+    )
+
+
+VIDEO_FRAMES_SQL = """
+    WITH ph AS (
+        SELECT 'img' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS image_id,
+               ((o_orderkey * 2654435761 % 4294967296) * 2147483648
+                + (o_orderkey * 104729 + 42) % 2147483648) % 4294967296 AS seed
+        FROM orders
+    ),
+    fr AS (SELECT image_id, seed, unnest([0, 2]) AS frame_idx FROM ph),
+    px AS (
+        SELECT image_id, frame_idx,
+               ((seed + (frame_idx * 48 + j) * 2654435761) % 256) AS v
+        FROM fr, (SELECT unnest(generate_series(1, 48)) AS j)
+    )
+    SELECT image_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(4 AS BIGINT) AS w, CAST(4 AS BIGINT) AS h,
+           CAST(sum(v) AS BIGINT) AS pixel_sum,
+           CAST(min(v) AS BIGINT) AS pixel_min,
+           CAST(max(v) AS BIGINT) AS pixel_max
+    FROM px GROUP BY image_id, frame_idx
+"""
+
+
 def q_image_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal → ANN bridge gate: encode blobs from phash, decode,
     project pixels through the fixed ±1 embedding matrix
@@ -1262,6 +1349,7 @@ ORACLES: dict[str, str] = {
         FROM px GROUP BY image_id, fmt
     """,
     "image_embed": _image_embed_oracle(),
+    "video_frames": VIDEO_FRAMES_SQL,
     "audio_features": AUDIO_FEATURES_SQL,
     "event_windows": """
         SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 900) * 900 AS BIGINT) AS window_start,
@@ -1394,6 +1482,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": q_ann_ivf,
     "image_decode": q_image_decode,
     "image_embed": q_image_embed,
+    "video_frames": q_video_frames,
     "audio_features": q_audio_features,
     "event_windows": q_event_windows,
     "stream_event_windows": q_stream_event_windows,
