@@ -1159,6 +1159,111 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.read().select("id", "v", "seq")
 
 
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time-travel gate (north_rule: resumable from snapshot
+    checkpoints): create → merge → delete on a SnapStore, then read the
+    table AS OF each snapshot and union the three states. The oracle
+    reconstructs every historical state in pure SQL over the identical
+    update stream — so the snapshot log, the merge-on-read resolution
+    AND tombstone semantics are all checked at every point in time."""
+    import tempfile
+
+    from .sources.snapstore import SnapStore
+
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    store = SnapStore(spark, tempfile.mkdtemp(prefix="tt_gate_"), key="id")
+    s0 = store.create(
+        orders.select(k.alias("id"), F.col("o_custkey").alias("v"), F.lit(0).alias("seq"))
+    )
+    s1 = store.merge(
+        orders.filter(F.pmod(k, 4) == 0).select(
+            k.alias("id"), (F.col("o_custkey") + 1000000).alias("v"), F.lit(1).alias("seq")
+        )
+    )
+    s2 = store.delete_keys(orders.filter(F.pmod(k, 10) == 0).select(k.alias("id")))
+    out = None
+    for tag, sid in ((0, s0), (1, s1), (2, s2)):
+        part = store.read(as_of=sid).select(
+            F.lit(tag).cast("long").alias("as_of"), "id", "v", "seq"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+TIME_TRAVEL_SQL = """
+    WITH base AS (SELECT o_orderkey AS id, o_custkey AS v, 0 AS seq FROM orders),
+    upd AS (
+        SELECT o_orderkey AS id, o_custkey + 1000000 AS v, 1 AS seq
+        FROM orders WHERE o_orderkey % 4 = 0
+    ),
+    v1 AS (
+        SELECT id, v, seq FROM (
+            SELECT id, v, seq,
+                   row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+            FROM (SELECT * FROM base UNION ALL SELECT * FROM upd)
+        ) WHERE rn = 1
+    )
+    SELECT CAST(0 AS BIGINT) AS as_of, id, v, seq FROM base
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), id, v, seq FROM v1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), id, v, seq FROM v1 WHERE id % 10 != 0
+"""
+
+
+def q_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineage/metrics-table gate (A15 + north_rule: per-partition
+    lineage + metrics tables): create → append → merge → delete with
+    data-derived batch sizes, then read the store's lineage table. The
+    oracle recomputes each snapshot's row count from the table
+    semantics (the delete snapshot's tombstone count depends on the
+    full merge-on-read state at that moment), so the bookkeeping —
+    written from parquet footers, never a re-read — is value-checked,
+    not just smoke-checked."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from .sources.snapstore import SnapStore
+
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    store = SnapStore(spark, tempfile.mkdtemp(prefix="lin_gate_"), key="id")
+    store.create(orders.select(k.alias("id"), F.col("o_custkey").alias("v")))
+    store.append(
+        orders.filter(F.pmod(k, 3) == 0).select(k.alias("id"), F.col("o_custkey").alias("v"))
+    )
+    store.merge(
+        orders.filter(F.pmod(k, 7) == 0).select(
+            k.alias("id"), (F.col("o_custkey") + 1).alias("v")
+        )
+    )
+    store.delete_keys(orders.filter(F.pmod(k, 11) == 0).select(k.alias("id")))
+    w = Window.orderBy("snapshot_id")
+    return store.lineage().select(
+        F.row_number().over(w).cast("long").alias("step"), "op", "rows"
+    )
+
+
+LINEAGE_SQL = """
+    SELECT CAST(1 AS BIGINT) AS step, 'append' AS op, count(*) AS rows FROM orders
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'append', count(*) FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'merge', count(*) FROM orders WHERE o_orderkey % 7 = 0
+    UNION ALL
+    -- tombstones: every CURRENT row of a %11 key at delete time —
+    -- %7 keys were collapsed to their merge row (1), %3 keys carry
+    -- base+append (2), the rest just base (1)
+    SELECT CAST(4 AS BIGINT), 'delete',
+           CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1
+                         WHEN o_orderkey % 3 = 0 THEN 2
+                         ELSE 1 END) AS BIGINT)
+    FROM orders WHERE o_orderkey % 11 = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect-compatible ANSI)
 # ---------------------------------------------------------------------------
@@ -1444,6 +1549,8 @@ ORACLES: dict[str, str] = {
         )
         SELECT id, v, seq FROM latest WHERE rn = 1
     """,
+    "time_travel": TIME_TRAVEL_SQL,
+    "lineage": LINEAGE_SQL,
     "set_ops": """
         (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'click'
          INTERSECT
@@ -1495,6 +1602,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops": q_set_ops,
     "incremental_rollup": q_incremental_rollup,
     "merge_upsert": q_merge_upsert,
+    "time_travel": q_time_travel,
+    "lineage": q_lineage,
     "hex_rollup": q_hex_rollup,
     "polygon_contains": q_polygon_contains,
     "polygon_area": q_polygon_area,

