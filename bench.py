@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "corpus_pipeline",
     "cosine_topk",
     "ann_lsh",
+    "ann_multiprobe",
     "ann_ivf",
     "embed_neardup",
     "image_decode",

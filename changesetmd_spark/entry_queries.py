@@ -477,6 +477,15 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.ann_lsh_topk(queries, emb, k=10)
 
 
+def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: per table, also probe the query's
+    lowest-margin flipped bucket (query side only — recall like 2×
+    the tables at zero extra index size)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return sim_ops.ann_lsh_topk(queries, emb, k=10, multiprobe=True)
+
+
 def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ planted near-duplicates: for vec_id < 50, a copy at
     id+100000 with element 0 scaled ×1.05 (cos ≈ 0.999+). The testdata
@@ -1428,6 +1437,7 @@ ORACLES: dict[str, str] = {
     """,
     "cosine_topk": sim_ops.COSINE_TOPK_SQL(10, "vec_id < 20"),
     "ann_lsh": sim_ops.ANN_LSH_SQL(10, "vec_id < 20"),
+    "ann_multiprobe": sim_ops.ANN_LSH_SQL(10, "vec_id < 20", multiprobe=True),
     "embed_neardup": sim_ops.EMBED_NEARDUP_SQL(990_000, table=_AUG_EMBED_SQL),
     "ann_ivf": sim_ops.ANN_IVF_SQL(10, "vec_id < 20"),
     "image_decode": """
@@ -1585,6 +1595,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pipeline": q_corpus_pipeline,
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_multiprobe": q_ann_multiprobe,
     "embed_neardup": q_embed_neardup,
     "ann_ivf": q_ann_ivf,
     "image_decode": q_image_decode,

@@ -199,12 +199,20 @@ def lsh_table_keys(
     tables: int = LSH_TABLES,
     bits: int = LSH_BITS,
     plane_base: int = 0,
+    multiprobe: bool = False,
 ) -> Column:
     """array<long> of ``tables`` keys: key_t = t·2^(bits+1) + bits_t
     where bits_t packs the table's ``bits`` sign-bits. Sharing ANY key
     makes a candidate pair (OR-amplification). Defaults are the topk
     layout; the pairs layout passes (PAIR_TABLES, PAIR_BITS,
     PAIR_PLANE_BASE).
+
+    ``multiprobe=True`` appends, per table, the bucket with the
+    LOWEST-|margin| sign bit flipped (ties → smaller plane index,
+    matching np.argmin's first-wins) — classic multi-probe LSH: the
+    near-misses a true neighbor most likely fell into are probed
+    instead of paying for more tables. Apply it to the (small) QUERY
+    side only; the indexed side keeps one bucket per table.
 
     Computed in ONE Arrow pandas UDF as an exact int64 matrix multiply
     (n, DIM) @ (DIM, n_planes) — the 48 per-plane expression folds this
@@ -221,21 +229,30 @@ def lsh_table_keys(
         sbits = (proj >= 0).astype(np.int64)  # (n, n_planes)
         weights = np.array([1 << (i % bits) for i in range(n_planes)], dtype=np.int64)
         weighted = sbits * weights
-        keys = np.zeros((m.shape[0], tables), dtype=np.int64)
+        n_keys = tables * (2 if multiprobe else 1)
+        keys = np.zeros((m.shape[0], n_keys), dtype=np.int64)
         for t in range(tables):
-            keys[:, t] = (
+            primary = (
                 weighted[:, t * bits:(t + 1) * bits].sum(axis=1)
                 + (t << (bits + 1))
             )
+            keys[:, t] = primary
+            if multiprobe:
+                margins = np.abs(proj[:, t * bits:(t + 1) * bits])
+                flip_bit = margins.argmin(axis=1)  # first min wins
+                keys[:, tables + t] = primary ^ (np.int64(1) << flip_bit)
         return pd.Series(list(keys))
 
     return _keys(vec_q)
 
 
-def _PLANE_BIT_SQL(vec_q: str, p: int) -> str:
+def _PLANE_PROJ_SQL(vec_q: str, p: int) -> str:
     signs = ", ".join(str(plane_sign(p, d)) for d in range(DIM))
-    proj = DOT_INT_SQL(vec_q, f"[{signs}]")
-    return f"(CASE WHEN {proj} >= 0 THEN 1 ELSE 0 END)"
+    return DOT_INT_SQL(vec_q, f"[{signs}]")
+
+
+def _PLANE_BIT_SQL(vec_q: str, p: int) -> str:
+    return f"(CASE WHEN {_PLANE_PROJ_SQL(vec_q, p)} >= 0 THEN 1 ELSE 0 END)"
 
 
 def LSH_TABLE_KEYS_SQL(
@@ -243,15 +260,36 @@ def LSH_TABLE_KEYS_SQL(
     tables: int = LSH_TABLES,
     bits: int = LSH_BITS,
     plane_base: int = 0,
+    multiprobe: bool = False,
 ) -> str:
-    keys = []
+    """Oracle twin of ``lsh_table_keys`` (same key order: primaries
+    then, with multiprobe, the flipped-lowest-|margin| buckets)."""
+    keys, flipped = [], []
     for t in range(tables):
         bit_sum = " + ".join(
             f"{_PLANE_BIT_SQL(vec_q, plane_base + t * bits + i)} * {1 << i}"
             for i in range(bits)
         )
-        keys.append(f"CAST({t << (bits + 1)} + {bit_sum} AS BIGINT)")
-    return "[" + ", ".join(keys) + "]"
+        primary = f"CAST({t << (bits + 1)} + {bit_sum} AS BIGINT)"
+        keys.append(primary)
+        if multiprobe:
+            margins = [
+                f"abs({_PLANE_PROJ_SQL(vec_q, plane_base + t * bits + i)})"
+                for i in range(bits)
+            ]
+            m = f"least({', '.join(margins)})"
+            # first-wins tie-break = np.argmin: CASE stops at the first
+            # margin equal to the minimum
+            flip_mask = (
+                "(CASE "
+                + " ".join(
+                    f"WHEN {margins[i]} = {m} THEN CAST({1 << i} AS BIGINT)"
+                    for i in range(bits)
+                )
+                + " END)"
+            )
+            flipped.append(f"xor({primary}, {flip_mask})")
+    return "[" + ", ".join(keys + flipped) + "]"
 
 
 def ann_lsh_topk(
@@ -262,15 +300,22 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """ANN: candidates restricted to vectors sharing ≥1 LSH table
     bucket with the query (hash equi-join on table keys — scales to
     any table size), exact cosine + top-k within candidates.
     Approximate by design: recall measured in tests against
     ``cosine_topk``; the bucket join is the 100 TB path (table key is
-    also the natural partition key)."""
+    also the natural partition key).
+
+    ``multiprobe=True`` additionally probes, per table, the bucket
+    with the query's lowest-margin bit flipped — the QUERY side only
+    (it is broadcast-small), so recall rises like doubling the table
+    count at zero extra index size or indexed-side work."""
     q = _prep(queries, id_col, vec_col, "q_").withColumn(
-        "bucket", F.explode(lsh_table_keys(F.col("q_vec")))
+        "bucket",
+        F.explode(lsh_table_keys(F.col("q_vec"), multiprobe=multiprobe)),
     )
     v = _prep(vectors, id_col, vec_col, "v_").withColumn(
         "bucket", F.explode(lsh_table_keys(F.col("v_vec")))
@@ -299,17 +344,24 @@ def ANN_LSH_SQL(
     vec_col: str = "embedding",
     table: str = "embeddings",
     exclude_self: bool = True,
+    multiprobe: bool = False,
 ) -> str:
     qv = QUANTIZED_SQL(vec_col)
+    q_keys = LSH_TABLE_KEYS_SQL("qvec", multiprobe=multiprobe)
     return f"""
         WITH pre AS (
             SELECT {id_col}, {qv} AS qvec,
-                   {DOT_INT_SQL(qv, qv)} AS n2,
-                   {LSH_TABLE_KEYS_SQL(qv)} AS keys
+                   {DOT_INT_SQL(qv, qv)} AS n2
             FROM {table}
         ),
-        base AS (SELECT {id_col}, qvec, n2, unnest(keys) AS bucket FROM pre),
-        q AS (SELECT * FROM base WHERE {query_pred}),
+        base AS (
+            SELECT {id_col}, qvec, n2, unnest({LSH_TABLE_KEYS_SQL('qvec')}) AS bucket
+            FROM pre
+        ),
+        q AS (
+            SELECT {id_col}, qvec, n2, unnest({q_keys}) AS bucket
+            FROM pre WHERE {query_pred}
+        ),
         scored AS (
             SELECT DISTINCT q.{id_col} AS query_id, v.{id_col} AS neighbor_id,
                    {COS_Q_SQL(DOT_INT_SQL("q.qvec", "v.qvec"), "q.n2", "v.n2")} AS cos_sim_q

@@ -254,6 +254,23 @@ def test_kmeans_recovers_planted_blobs_and_boosts_ivf(spark):
     assert hits_trained >= hits_naive
 
 
+def test_ann_multiprobe_recall_at_least_plain(spark, vectors):
+    """Multi-probe must dominate plain LSH: every plain candidate
+    bucket is also probed, so top-1 recall vs brute force can only
+    rise; and the planted near-identical pair must still be found."""
+    q = vectors.filter(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(q, vectors, k=1).toPandas()
+    plain = similarity.ann_lsh_topk(q, vectors, k=1).toPandas()
+    multi = similarity.ann_lsh_topk(q, vectors, k=1, multiprobe=True).toPandas()
+    e = dict(zip(exact.query_id, exact.neighbor_id))
+    p = dict(zip(plain.query_id, plain.neighbor_id))
+    m = dict(zip(multi.query_id, multi.neighbor_id))
+    hits_p = sum(1 for kk in e if p.get(kk) == e[kk])
+    hits_m = sum(1 for kk in e if m.get(kk) == e[kk])
+    assert hits_m >= hits_p
+    assert m.get(0) == 199  # planted near-dup of vec 0
+
+
 def test_weighted_greedy_seeds_spread_and_pad():
     """Driver-side k-means|| reduction: seeds spread across separated
     candidate groups by weight·distance, duplicates never picked while
