@@ -173,6 +173,60 @@ class SnapStore:
         cur = self.read().withColumn("_deleted", F.lit(False))
         return self._write_delta(cur, OP_COMPACT, meta)
 
+    def expire_snapshots(self, keep_last: int = 0) -> dict:
+        """Iceberg ``expire_snapshots`` analog (table maintenance):
+        delete the data files of snapshots that no CURRENT read can
+        reach — everything strictly older than the newest compact
+        snapshot (reads always resolve from the latest compact, see
+        ``_deltas``). ``keep_last`` retains that many of the newest
+        otherwise-expirable snapshots as a time-travel grace window.
+
+        Log entries are kept (lineage/metrics stay queryable forever);
+        each expired entry is flagged so a time-travel or incremental
+        read into the expired range fails LOUDLY instead of silently
+        returning partial state. Single-writer (takes the mutex).
+        Returns {'expired': n, 'bytes_freed': bytes}."""
+        import shutil
+
+        self.acquire()
+        try:
+            snaps = self.snapshots()
+            newest_compact = max(
+                (s["id"] for s in snaps if s["op"] == OP_COMPACT), default=None
+            )
+            if newest_compact is None:
+                return {"expired": 0, "bytes_freed": 0}
+            doomed = [
+                s for s in snaps if s["id"] < newest_compact and not s.get("expired")
+            ]
+            doomed = doomed[: max(len(doomed) - keep_last, 0)]
+            freed = 0
+            for s in doomed:
+                p = s["path"]
+                if os.path.isdir(p):
+                    freed += sum(
+                        os.path.getsize(os.path.join(dp, f))
+                        for dp, _, fs in os.walk(p)
+                        for f in fs
+                    )
+                    shutil.rmtree(p)
+                s["expired"] = True
+            tmp = self._log_path() + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(snaps, f, indent=1)
+            os.replace(tmp, self._log_path())
+            return {"expired": len(doomed), "bytes_freed": freed}
+        finally:
+            self.release()
+
+    @staticmethod
+    def _check_live(snaps: list[dict]) -> None:
+        dead = sorted(s["id"] for s in snaps if s.get("expired"))
+        if dead:
+            raise ValueError(
+                f"snapshot(s) {dead} expired — data removed by expire_snapshots()"
+            )
+
     # -- reads --------------------------------------------------------
 
     def _deltas(self, upto: int | None = None, since: int | None = None) -> list[dict]:
@@ -218,6 +272,7 @@ class SnapStore:
         snaps = self._deltas(upto=as_of)
         if not snaps:
             raise ValueError("empty table")
+        self._check_live(snaps)
         keyed_ops = {s["id"] for s in snaps if s["op"] in (OP_MERGE, OP_DELETE)}
         dfs = [
             self.spark.read.parquet(s["path"])
@@ -265,6 +320,7 @@ class SnapStore:
                 .withColumn("_snap", F.lit(-1).cast("long"))
                 .limit(0)
             )
+        self._check_live(snaps)
         dfs = [
             self.spark.read.parquet(s["path"]).withColumn("_snap", F.lit(s["id"]).cast("long"))
             for s in snaps

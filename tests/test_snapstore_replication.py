@@ -258,6 +258,47 @@ def test_comment_delete_then_reinsert(spark, tmp_path):
 # FileReplicationSource — the reference wire protocol over file:// fixtures
 # ---------------------------------------------------------------------------
 
+def test_expire_snapshots_lifecycle(spark, store):
+    """Iceberg expire_snapshots analog: data of snapshots older than
+    the newest compact is deleted, current reads are unaffected,
+    time-travel/incremental reads into the expired range fail loudly,
+    lineage keeps every snapshot, keep_last grants a grace window,
+    and the call is idempotent."""
+    import os
+
+    store.create(synth.changesets(spark, 60))  # snap 0
+    store.merge(synth.changesets(spark, 20).withColumn("num_changes", F.lit(7)))  # 1
+    store.merge(synth.changesets(spark, 10).withColumn("num_changes", F.lit(9)))  # 2
+    # nothing expirable before a compact exists
+    assert store.expire_snapshots() == {"expired": 0, "bytes_freed": 0}
+    store.compact()  # snap 3
+    store.append(synth.changesets(spark, 5).withColumn("id", F.col("id") + 1000))  # 4
+
+    before = _table_fingerprint(store.read().drop("tags"))
+    out = store.expire_snapshots(keep_last=1)
+    assert out["expired"] == 2 and out["bytes_freed"] > 0  # snaps 0,1 (2 kept)
+    snaps = {s["id"]: s for s in store.snapshots()}
+    assert len(snaps) == 5  # lineage intact
+    assert snaps[0].get("expired") and snaps[1].get("expired")
+    assert not snaps[2].get("expired")
+    assert not os.path.isdir(snaps[0]["path"]) and os.path.isdir(snaps[2]["path"])
+
+    # current read and post-compact time travel unaffected
+    assert _table_fingerprint(store.read().drop("tags")) == before
+    assert store.read(as_of=3).count() == 60
+    # expired range fails loudly
+    with pytest.raises(ValueError, match="expired"):
+        store.read(as_of=1)
+    with pytest.raises(ValueError, match="expired"):
+        store.incremental(0, 1).count()
+    # grace snapshot still readable incrementally, then expire the rest
+    store.incremental(1, 2).count()
+    assert store.expire_snapshots()["expired"] == 1  # snap 2 now too
+    assert store.expire_snapshots() == {"expired": 0, "bytes_freed": 0}  # idempotent
+    assert store.lineage().count() == 5
+    assert _table_fingerprint(store.read().drop("tags")) == before
+
+
 def _cs_xml(i: int, seq: int, comments=()) -> str:
     attrs = (
         f'id="{i}" created_at="2021-01-01T00:00:00Z" '
