@@ -869,6 +869,48 @@ def q_stream_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+def q_stream_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental-tiling gate: the two-resolution hex tiling
+    rollup executed as a real Structured Streaming query (readStream
+    over the orders parquet, Trigger.AvailableNow, complete mode into
+    a memory sink) — the streaming analog of the headline pipeline's
+    geotag → cell-assign → rollup. Shares hex_rollup's oracle SQL, so
+    streaming micro-batch tiling is held to the exact same
+    cross-engine answer as the batch plan."""
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from .functions import hexgrid
+
+    path = f"{sf_dir}/orders.parquet"
+    stream_dir = tempfile.mkdtemp(prefix="stream_tile_")
+    os.symlink(os.path.abspath(path), os.path.join(stream_dir, "orders.parquet"))
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(stream_dir)
+    points = points_from_orders(src)
+    agg = (
+        points.select(
+            hexgrid.hex_cell(F.col("lat"), F.col("lon"), 2).alias("cell_r2"),
+            hexgrid.hex_cell(F.col("lat"), F.col("lon"), 4).alias("cell_r4"),
+        )
+        .groupBy("cell_r2", "cell_r4")
+        .agg(F.count("*").alias("n"))
+    )
+    qname = f"stream_tile_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    return spark.table(qname)
+
+
 def q_stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSTOM STATEFUL streaming gate: per-user running stats held in
     applyInPandasWithState (streaming/stateful.py) driven as a real
@@ -1605,6 +1647,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_windows": q_event_windows,
     "stream_event_windows": q_stream_event_windows,
     "stream_user_state": q_stream_user_state,
+    "stream_tile_rollup": q_stream_tile_rollup,
     "sessionize": q_sessionize,
     "moving_window": q_moving_window,
     "quantiles": q_quantiles,
@@ -1640,6 +1683,10 @@ ORACLES["hex_rollup"] = f"""
            count(*) AS n
     FROM p GROUP BY 1, 2
 """
+
+# the streaming tiling rollup must land on the exact same answer as
+# the batch plan — same oracle
+ORACLES["stream_tile_rollup"] = ORACLES["hex_rollup"]
 
 from .operators.polygon_join import POLYGON_AREA_Q_SQL as _PAREA_SQL  # noqa: E402
 

@@ -63,6 +63,11 @@ def main(argv: list[str] | None = None) -> int:
              "changesetmd.py:518-520); omitted = synthetic source",
     )
 
+    pe = sub.add_parser("expire", help="expire unreachable snapshots (table maintenance)")
+    pe.add_argument("--root", required=True)
+    pe.add_argument("--keep-last", type=int, default=0,
+                    help="retain this many newest expirable snapshots (time-travel grace)")
+
     pq = sub.add_parser("query", help="run a named engine query")
     pq.add_argument("name", choices=sorted(EQ.QUERIES))
     pq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -113,6 +118,13 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 f"loaded {lin.rows} changesets (snapshot {s1}, "
                 f"{lin.rows_per_s:.0f} rows/s), comments snapshot {s2}"
+            )
+        elif args.cmd == "expire":
+            o1 = store.expire_snapshots(keep_last=args.keep_last)
+            o2 = comments.expire_snapshots(keep_last=args.keep_last)
+            print(
+                f"expired {o1['expired']}+{o2['expired']} snapshots, "
+                f"freed {o1['bytes_freed'] + o2['bytes_freed']} bytes"
             )
         elif args.cmd == "replicate":
             if args.base:

@@ -62,6 +62,24 @@ def test4_partial_replication(cli, tmp_path, spark):
     assert store.read_state()["last_sequence"] == -1
 
 
+def test6_expire_maintenance(cli, tmp_path, spark):
+    """`expire` drops pre-compact snapshot data through the CLI and
+    leaves the current state readable."""
+    from changesetmd_spark.sources.snapstore import SnapStore
+    from changesetmd_spark.sources.xml_ingest import synthesize_fixture_xml
+
+    synthesize_fixture_xml(str(tmp_path / "f.osm"), n=60)
+    root = tmp_path / "t6"
+    assert cli(["create", "--root", str(root)]) == 0
+    assert cli(["load", "--root", str(root), "--file", str(tmp_path / "f.osm")]) == 0
+    store = SnapStore(spark, str(root / "changesets"), key="id")
+    n = store.read().count()
+    store.compact()
+    assert cli(["expire", "--root", str(root)]) == 0
+    assert store.read().count() == n
+    assert any(s.get("expired") for s in store.snapshots())
+
+
 def test5_wire_protocol_replication_with_resume(cli, tmp_path, spark):
     """`replicate --base file://...` drives the real wire-protocol
     adapter end-to-end from the CLI (reference -r --url surface,
