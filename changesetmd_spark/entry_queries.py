@@ -825,32 +825,34 @@ def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_stream_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING gate: the same tumbling-window aggregation as
-    q_event_windows, but executed as a real Structured Streaming query
-    (readStream over the events parquet, Trigger.AvailableNow, complete
-    mode into a memory sink). Shares q_event_windows' oracle SQL — so
-    the streaming engine's windowed aggregation is held to the exact
-    same cross-engine answer as the batch plan."""
+def _stream_table_source(spark: SparkSession, sf_dir: str, table: str):
+    """(streaming DF, cleanup) over one testdata parquet table: the
+    file-stream source needs a DIRECTORY; the testdata tables are
+    single files — expose one via symlink (no data copy). Caller must
+    invoke cleanup() in a finally block (review finding: a failing
+    stream otherwise leaks the temp dir)."""
     import os
+    import shutil
     import tempfile
-    import uuid as _uuid
 
-    path = f"{sf_dir}/events.parquet"
-    # the file-stream source needs a DIRECTORY; the testdata tables are
-    # single files — expose one via symlink (no data copy)
-    stream_dir = tempfile.mkdtemp(prefix="stream_gate_")
-    os.symlink(os.path.abspath(path), os.path.join(stream_dir, "events.parquet"))
+    path = f"{sf_dir}/{table}.parquet"
+    stream_dir = tempfile.mkdtemp(prefix=f"stream_{table}_")
+    os.symlink(os.path.abspath(path), os.path.join(stream_dir, f"{table}.parquet"))
     schema = spark.read.parquet(path).schema
     src = spark.readStream.schema(schema).parquet(stream_dir)
-    epoch = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
-    win = (F.floor(epoch / 900) * 900).alias("window_start")
-    val = F.col("value").cast("decimal(18,6)")
-    agg = src.groupBy(win, F.col("event_type")).agg(
-        F.count("*").alias("n"),
-        (F.sum(val) * 1000000).cast("long").alias("sum_value_micro"),
-    )
-    qname = f"stream_gate_{_uuid.uuid4().hex[:8]}"
+    return src, lambda: shutil.rmtree(stream_dir, ignore_errors=True)
+
+
+def _run_stream_complete(agg, prefix: str) -> DataFrame:
+    """Run a streaming aggregation to completion (availableNow,
+    complete mode, memory sink) and return the sink table. The
+    uuid-named sink stays registered for the session — the returned
+    DataFrame reads from it; gates invoke each query once per
+    session, so the bounded (rollup-sized) sink is not a leak."""
+    import uuid as _uuid
+
+    spark = agg.sparkSession
+    qname = f"{prefix}_{_uuid.uuid4().hex[:8]}"
     q = (
         agg.writeStream.format("memory")
         .queryName(qname)
@@ -859,14 +861,28 @@ def q_stream_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    # the memory sink owns the result now — the symlink dir was only
-    # needed while the stream ran. (The uuid-named sink table itself
-    # stays registered for the session: the returned DataFrame reads
-    # from it; gates invoke this once per session.)
-    import shutil
-
-    shutil.rmtree(stream_dir, ignore_errors=True)
     return spark.table(qname)
+
+
+def q_stream_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING gate: the same tumbling-window aggregation as
+    q_event_windows, but executed as a real Structured Streaming query
+    (readStream over the events parquet, Trigger.AvailableNow, complete
+    mode into a memory sink). Shares q_event_windows' oracle SQL — so
+    the streaming engine's windowed aggregation is held to the exact
+    same cross-engine answer as the batch plan."""
+    src, cleanup = _stream_table_source(spark, sf_dir, "events")
+    try:
+        epoch = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+        win = (F.floor(epoch / 900) * 900).alias("window_start")
+        val = F.col("value").cast("decimal(18,6)")
+        agg = src.groupBy(win, F.col("event_type")).agg(
+            F.count("*").alias("n"),
+            (F.sum(val) * 1000000).cast("long").alias("sum_value_micro"),
+        )
+        return _run_stream_complete(agg, "stream_gate")
+    finally:
+        cleanup()
 
 
 def q_stream_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -877,38 +893,22 @@ def q_stream_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     geotag → cell-assign → rollup. Shares hex_rollup's oracle SQL, so
     streaming micro-batch tiling is held to the exact same
     cross-engine answer as the batch plan."""
-    import os
-    import shutil
-    import tempfile
-    import uuid as _uuid
-
     from .functions import hexgrid
 
-    path = f"{sf_dir}/orders.parquet"
-    stream_dir = tempfile.mkdtemp(prefix="stream_tile_")
-    os.symlink(os.path.abspath(path), os.path.join(stream_dir, "orders.parquet"))
-    schema = spark.read.parquet(path).schema
-    src = spark.readStream.schema(schema).parquet(stream_dir)
-    points = points_from_orders(src)
-    agg = (
-        points.select(
-            hexgrid.hex_cell(F.col("lat"), F.col("lon"), 2).alias("cell_r2"),
-            hexgrid.hex_cell(F.col("lat"), F.col("lon"), 4).alias("cell_r4"),
+    src, cleanup = _stream_table_source(spark, sf_dir, "orders")
+    try:
+        points = points_from_orders(src)
+        agg = (
+            points.select(
+                hexgrid.hex_cell(F.col("lat"), F.col("lon"), 2).alias("cell_r2"),
+                hexgrid.hex_cell(F.col("lat"), F.col("lon"), 4).alias("cell_r4"),
+            )
+            .groupBy("cell_r2", "cell_r4")
+            .agg(F.count("*").alias("n"))
         )
-        .groupBy("cell_r2", "cell_r4")
-        .agg(F.count("*").alias("n"))
-    )
-    qname = f"stream_tile_{_uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    shutil.rmtree(stream_dir, ignore_errors=True)
-    return spark.table(qname)
+        return _run_stream_complete(agg, "stream_tile")
+    finally:
+        cleanup()
 
 
 def q_stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -918,30 +918,24 @@ def q_stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch, so the final update per user is the total state).
     Oracle: the closed-form per-user aggregation in SQL — the custom
     state transition function is held to the exact batch answer."""
-    import os
-    import tempfile
     import uuid as _uuid
 
     from .streaming.stateful import track_user_activity
 
-    path = f"{sf_dir}/events.parquet"
-    stream_dir = tempfile.mkdtemp(prefix="state_gate_")
-    os.symlink(os.path.abspath(path), os.path.join(stream_dir, "events.parquet"))
-    schema = spark.read.parquet(path).schema
-    src = spark.readStream.schema(schema).parquet(stream_dir)
-    out = track_user_activity(src.select("user_id", "event_type", "ts"))
-    qname = f"state_gate_{_uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    import shutil
-
-    shutil.rmtree(stream_dir, ignore_errors=True)
+    src, cleanup = _stream_table_source(spark, sf_dir, "events")
+    try:
+        out = track_user_activity(src.select("user_id", "event_type", "ts"))
+        qname = f"state_gate_{_uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        cleanup()
     # update mode emits one row per user PER MICRO-BATCH; the state
     # columns are all monotone (counts, distinct-bit count, max epoch),
     # so the final state is the per-user max — exact for the one-batch

@@ -86,17 +86,56 @@ class SnapStore:
         snaps = self.snapshots()
         return snaps[-1]["id"] if snaps else -1
 
-    def _commit(self, entry: dict) -> int:
-        """Append to the log atomically (write-temp + rename — the
-        single-writer commit; Iceberg's atomic swap analog)."""
-        snaps = self.snapshots()
-        entry["id"] = len(snaps)
-        entry["parent"] = snaps[-1]["id"] if snaps else None
-        snaps.append(entry)
+    def _log_lock(self):
+        """Short critical section around log read-modify-write. The
+        store contract is single-WRITER (state mutex), but maintenance
+        (expire_snapshots) may legally run concurrently with a writer
+        that holds the state mutex — without this lock the two
+        whole-file rewrites could race and silently drop a committed
+        snapshot from the log. O_CREAT|O_EXCL lockfile: atomic on any
+        local/NFS filesystem; Iceberg's optimistic swap replaces this
+        on a real catalog."""
+        import contextlib
+        import time as _t
+
+        @contextlib.contextmanager
+        def _lock():
+            lock_path = self._log_path() + ".lock"
+            deadline = _t.time() + 30.0
+            while True:
+                try:
+                    fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.close(fd)
+                    break
+                except FileExistsError:
+                    if _t.time() > deadline:
+                        raise ConcurrentWriteError(f"log lock stuck: {lock_path}")
+                    _t.sleep(0.02)
+            try:
+                yield
+            finally:
+                try:
+                    os.remove(lock_path)
+                except FileNotFoundError:
+                    pass
+
+        return _lock()
+
+    def _rewrite_log(self, snaps: list[dict]) -> None:
         tmp = self._log_path() + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(snaps, f, indent=1)
         os.replace(tmp, self._log_path())
+
+    def _commit(self, entry: dict) -> int:
+        """Append to the log atomically (read-modify-write under the
+        log lock + write-temp + rename; Iceberg's atomic swap analog)."""
+        with self._log_lock():
+            snaps = self.snapshots()
+            entry["id"] = len(snaps)
+            entry["parent"] = snaps[-1]["id"] if snaps else None
+            snaps.append(entry)
+            self._rewrite_log(snaps)
         return entry["id"]
 
     # -- writes -------------------------------------------------------
@@ -179,30 +218,48 @@ class SnapStore:
         reach — everything strictly older than the newest compact
         snapshot (reads always resolve from the latest compact, see
         ``_deltas``). ``keep_last`` retains that many of the newest
-        otherwise-expirable snapshots as a time-travel grace window.
+        otherwise-expirable snapshots as an INCREMENTAL-read grace
+        window (``incremental()`` into recent deltas keeps working —
+        audit/replay); note it cannot grant ``read(as_of=...)`` into
+        the expirable range, because an as-of read needs every delta
+        back to the previous compact and the older ones are gone.
 
         Log entries are kept (lineage/metrics stay queryable forever);
         each expired entry is flagged so a time-travel or incremental
         read into the expired range fails LOUDLY instead of silently
-        returning partial state. Single-writer (takes the mutex).
-        Returns {'expired': n, 'bytes_freed': bytes}."""
+        returning partial state.
+
+        Crash-safe ordering: flags are committed to the log FIRST,
+        data directories deleted after — a crash mid-way leaves
+        flagged-but-present snapshots (reads fail loudly, correct) and
+        the next expire() call reaps any such orphaned directories.
+        Takes the writer mutex; the log rewrite itself additionally
+        holds the log lock so a concurrent _commit can never be
+        dropped. Returns {'expired': n, 'bytes_freed': bytes}."""
         import shutil
 
         self.acquire()
         try:
-            snaps = self.snapshots()
-            newest_compact = max(
-                (s["id"] for s in snaps if s["op"] == OP_COMPACT), default=None
-            )
-            if newest_compact is None:
-                return {"expired": 0, "bytes_freed": 0}
-            doomed = [
-                s for s in snaps if s["id"] < newest_compact and not s.get("expired")
-            ]
-            doomed = doomed[: max(len(doomed) - keep_last, 0)]
+            with self._log_lock():
+                snaps = self.snapshots()
+                newest_compact = max(
+                    (s["id"] for s in snaps if s["op"] == OP_COMPACT), default=None
+                )
+                if newest_compact is None:
+                    return {"expired": 0, "bytes_freed": 0}
+                doomed = [
+                    s for s in snaps if s["id"] < newest_compact and not s.get("expired")
+                ]
+                doomed = doomed[: max(len(doomed) - keep_last, 0)]
+                for s in doomed:
+                    s["expired"] = True
+                self._rewrite_log(snaps)
+            # delete AFTER the flags are durable; also reap directories
+            # orphaned by a crash between a previous flag-commit and
+            # its deletes
             freed = 0
-            for s in doomed:
-                p = s["path"]
+            reap = [s["path"] for s in snaps if s.get("expired")]
+            for p in reap:
                 if os.path.isdir(p):
                     freed += sum(
                         os.path.getsize(os.path.join(dp, f))
@@ -210,11 +267,6 @@ class SnapStore:
                         for f in fs
                     )
                     shutil.rmtree(p)
-                s["expired"] = True
-            tmp = self._log_path() + f".tmp-{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                json.dump(snaps, f, indent=1)
-            os.replace(tmp, self._log_path())
             return {"expired": len(doomed), "bytes_freed": freed}
         finally:
             self.release()

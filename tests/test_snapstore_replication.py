@@ -299,6 +299,34 @@ def test_expire_snapshots_lifecycle(spark, store):
     assert _table_fingerprint(store.read().drop("tags")) == before
 
 
+def test_expire_crash_orphans_are_reaped(spark, tmp_path):
+    """Crash-safety contract: flags commit to the log BEFORE any data
+    delete, so the crash window leaves flagged-but-present snapshots —
+    reads into them fail loudly (not path-not-found) and the next
+    expire() reaps their directories."""
+    import json
+    import os
+
+    store = SnapStore(spark, str(tmp_path / "cs"), key="id")
+    store.create(synth.changesets(spark, 30))  # 0
+    store.merge(synth.changesets(spark, 10).withColumn("num_changes", F.lit(3)))  # 1
+    store.compact()  # 2
+    # simulate a crash right after the flag-commit: snap 0 flagged
+    # expired in the log, its data directory still on disk
+    snaps = store.snapshots()
+    snaps[0]["expired"] = True
+    with open(store._log_path(), "w") as f:
+        json.dump(snaps, f)
+    assert os.path.isdir(snaps[0]["path"])
+    with pytest.raises(ValueError, match="expired"):  # loud, not FileNotFound
+        store.read(as_of=0)
+    out = store.expire_snapshots()
+    assert out["expired"] == 1  # snap 1 newly flagged
+    assert out["bytes_freed"] > 0  # BOTH dirs reaped (0's orphan + 1's)
+    assert not os.path.isdir(snaps[0]["path"])
+    assert store.read().count() == 30
+
+
 def _cs_xml(i: int, seq: int, comments=()) -> str:
     attrs = (
         f'id="{i}" created_at="2021-01-01T00:00:00Z" '
