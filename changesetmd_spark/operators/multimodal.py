@@ -223,11 +223,15 @@ def feature_embed(images: DataFrame) -> DataFrame:
             # shape group instead of a Python-level loop per image
             for (_, blen), idxs in _shape_groups(blobs).items():
                 L = blen - HEADER_LEN
-                proj = M[np.arange(L) % EMBED_FOLD]  # (L, DIM)
+                # float64 matmul: int64@int64 bypasses BLAS (slow C
+                # loops). Pixels ≤255 × ±1 signs over L≤~10^4 terms
+                # stay integer-exact in float64 (≪ 2^53), so BLAS is
+                # free speed with bit-identical output.
+                proj = M[np.arange(L) % EMBED_FOLD].astype(np.float64)  # (L, DIM)
                 m = np.stack(
                     [np.frombuffer(blobs[i], dtype=np.uint8, offset=HEADER_LEN) for i in idxs]
-                ).astype(np.int64)
-                out[np.array(idxs)] = (m @ proj).astype(np.float64) / EMBED_SCALE
+                ).astype(np.float64)
+                out[np.array(idxs)] = (m @ proj) / EMBED_SCALE
             yield pd.DataFrame({"image_id": ids, "embedding": list(out)})
 
     return images.select("image_id", "bytes").mapInPandas(run, EMBED_SCHEMA)

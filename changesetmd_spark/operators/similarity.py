@@ -225,7 +225,10 @@ def lsh_table_keys(
     def _keys(vecs: pd.Series) -> pd.Series:
         planes = _planes_matrix(n_planes, plane_base).T  # (DIM, n_planes)
         m = np.stack(vecs.to_numpy())  # (n, DIM) int64 quantized
-        proj = m @ planes  # exact int64
+        # float64 matmul routes through BLAS (int64 matmul does not);
+        # |q| ≤ ~10^7 × ±1 over DIM=64 terms ⇒ |dot| ≤ ~10^9 ≪ 2^53,
+        # integer-exact in float64 — cast back is bit-identical
+        proj = (m.astype(np.float64) @ planes.astype(np.float64)).astype(np.int64)
         sbits = (proj >= 0).astype(np.int64)  # (n, n_planes)
         weights = np.array([1 << (i % bits) for i in range(n_planes)], dtype=np.int64)
         weighted = sbits * weights
