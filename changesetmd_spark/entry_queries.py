@@ -837,18 +837,22 @@ def _stream_table_source(spark: SparkSession, sf_dir: str, table: str):
 
     path = f"{sf_dir}/{table}.parquet"
     stream_dir = tempfile.mkdtemp(prefix=f"stream_{table}_")
-    os.symlink(os.path.abspath(path), os.path.join(stream_dir, f"{table}.parquet"))
-    schema = spark.read.parquet(path).schema
-    src = spark.readStream.schema(schema).parquet(stream_dir)
+    try:
+        os.symlink(os.path.abspath(path), os.path.join(stream_dir, f"{table}.parquet"))
+        schema = spark.read.parquet(path).schema
+        src = spark.readStream.schema(schema).parquet(stream_dir)
+    except BaseException:
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        raise
     return src, lambda: shutil.rmtree(stream_dir, ignore_errors=True)
 
 
-def _run_stream_complete(agg, prefix: str) -> DataFrame:
-    """Run a streaming aggregation to completion (availableNow,
-    complete mode, memory sink) and return the sink table. The
-    uuid-named sink stays registered for the session — the returned
-    DataFrame reads from it; gates invoke each query once per
-    session, so the bounded (rollup-sized) sink is not a leak."""
+def _run_stream_complete(agg, prefix: str, mode: str = "complete") -> DataFrame:
+    """Run a streaming query to termination (availableNow, memory
+    sink) and return the sink table. The uuid-named sink stays
+    registered for the session — the returned DataFrame reads from
+    it; gates invoke each query once per session, so the bounded
+    (rollup-sized) sink is not a leak."""
     import uuid as _uuid
 
     spark = agg.sparkSession
@@ -856,7 +860,7 @@ def _run_stream_complete(agg, prefix: str) -> DataFrame:
     q = (
         agg.writeStream.format("memory")
         .queryName(qname)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -918,36 +922,22 @@ def q_stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch, so the final update per user is the total state).
     Oracle: the closed-form per-user aggregation in SQL — the custom
     state transition function is held to the exact batch answer."""
-    import uuid as _uuid
-
     from .streaming.stateful import track_user_activity
 
     src, cleanup = _stream_table_source(spark, sf_dir, "events")
     try:
         out = track_user_activity(src.select("user_id", "event_type", "ts"))
-        qname = f"state_gate_{_uuid.uuid4().hex[:8]}"
-        q = (
-            out.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        sink = _run_stream_complete(out, "state_gate", mode="update")
     finally:
         cleanup()
     # update mode emits one row per user PER MICRO-BATCH; the state
     # columns are all monotone (counts, distinct-bit count, max epoch),
     # so the final state is the per-user max — exact for the one-batch
     # case here and robust if the source ever splits into several
-    return (
-        spark.table(qname)
-        .groupBy("user_id")
-        .agg(
-            F.max("n_events").alias("n_events"),
-            F.max("n_event_types").cast("long").alias("n_event_types"),
-            F.max("last_epoch").alias("last_epoch"),
-        )
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("n_event_types").cast("long").alias("n_event_types"),
+        F.max("last_epoch").alias("last_epoch"),
     )
 
 

@@ -86,15 +86,25 @@ class SnapStore:
         snaps = self.snapshots()
         return snaps[-1]["id"] if snaps else -1
 
+    # a log-lock holder only does an in-memory list edit + one file
+    # rename — milliseconds. A lockfile older than this is a crashed
+    # holder, not a slow one.
+    _LOG_LOCK_STALE_S = 10.0
+
     def _log_lock(self):
-        """Short critical section around log read-modify-write. The
-        store contract is single-WRITER (state mutex), but maintenance
-        (expire_snapshots) may legally run concurrently with a writer
-        that holds the state mutex — without this lock the two
-        whole-file rewrites could race and silently drop a committed
-        snapshot from the log. O_CREAT|O_EXCL lockfile: atomic on any
-        local/NFS filesystem; Iceberg's optimistic swap replaces this
-        on a real catalog."""
+        """Short critical section around log read-modify-write.
+        Ordinary ``merge()``/``append()`` never take the state mutex
+        (only orchestrators like replicate() do), so a bare writer's
+        ``_commit`` can race maintenance's whole-log rewrite
+        (``expire_snapshots``) — without this lock one of the two
+        os.replace()s would silently drop the other's entry.
+        O_CREAT|O_EXCL lockfile: atomic on any local/NFS filesystem;
+        Iceberg's optimistic swap replaces this on a real catalog.
+
+        Crash recovery: a holder that died leaves the lockfile behind;
+        since the critical section is milliseconds, any lockfile older
+        than _LOG_LOCK_STALE_S is broken automatically (mtime check)
+        instead of wedging every future write."""
         import contextlib
         import time as _t
 
@@ -108,6 +118,13 @@ class SnapStore:
                     os.close(fd)
                     break
                 except FileExistsError:
+                    try:
+                        age = _t.time() - os.path.getmtime(lock_path)
+                        if age > self._LOG_LOCK_STALE_S:
+                            os.remove(lock_path)  # crashed holder
+                            continue
+                    except FileNotFoundError:
+                        continue  # released between open and stat
                     if _t.time() > deadline:
                         raise ConcurrentWriteError(f"log lock stuck: {lock_path}")
                     _t.sleep(0.02)

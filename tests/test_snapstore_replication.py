@@ -299,6 +299,24 @@ def test_expire_snapshots_lifecycle(spark, store):
     assert _table_fingerprint(store.read().drop("tags")) == before
 
 
+def test_stale_log_lock_is_broken_not_wedging(spark, tmp_path):
+    """A holder that crashed inside the log critical section leaves
+    snapshots.json.lock behind; since the section is milliseconds, a
+    lockfile older than the staleness bound is broken automatically —
+    writes must not wedge forever."""
+    import os
+    import time
+
+    store = SnapStore(spark, str(tmp_path / "cs"), key="id")
+    lock = os.path.join(store.root, "snapshots.json.lock")
+    open(lock, "w").close()
+    old = time.time() - 2 * SnapStore._LOG_LOCK_STALE_S
+    os.utime(lock, (old, old))
+    store.create(synth.changesets(spark, 10))  # would hang/raise pre-fix
+    assert store.read().count() == 10
+    assert not os.path.exists(lock)  # released after commit
+
+
 def test_expire_crash_orphans_are_reaped(spark, tmp_path):
     """Crash-safety contract: flags commit to the log BEFORE any data
     delete, so the crash window leaves flagged-but-present snapshots —
