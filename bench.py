@@ -132,6 +132,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     headline_only = os.environ.get("SPARK_GRAFT_HEADLINE_ONLY") == "1"
+    # comma-separated subset for the per-query scaling ladder
+    # (tools/run_scaling.py --queries); unset = full driver contract
+    only = os.environ.get("SPARK_GRAFT_QUERIES")
+    bench_queries = [q for q in only.split(",") if q] if only else BENCH_QUERIES
+    skip_headline = bool(only)
     sf = sf_dir.rstrip("/").split("/")[-1].replace("sf", "")
     spark = get_spark(
         app_name="bench",
@@ -146,20 +151,25 @@ def main() -> None:
 
     orders_n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
     n_images = orders_n * IMAGES_PER_ORDER
-    img_path = ensure_images(spark, sf_dir, n_images)
 
-    # warm the JVM/code paths once with a trivial action
-    spark.read.parquet(img_path).select("image_id").limit(10).count()
+    if skip_headline:
+        n_img, n_rows, headline_sec = n_images, 0, 0.0
+        timings: dict[str, float] = {}
+    else:
+        img_path = ensure_images(spark, sf_dir, n_images)
 
-    # two iterations, report the min (first run pays codegen/JIT warmup)
-    n_img, n_rows, t1 = spatial_pipeline(spark, img_path, sf_dir)
-    _, _, t2 = spatial_pipeline(spark, img_path, sf_dir)
-    headline_sec = min(t1, t2)
+        # warm the JVM/code paths once with a trivial action
+        spark.read.parquet(img_path).select("image_id").limit(10).count()
+
+        # two iterations, report the min (first run pays codegen/JIT warmup)
+        n_img, n_rows, t1 = spatial_pipeline(spark, img_path, sf_dir)
+        _, _, t2 = spatial_pipeline(spark, img_path, sf_dir)
+        headline_sec = min(t1, t2)
+        timings = {"spatial_pipeline": round(headline_sec, 3)}
 
     queries = EQ.QUERIES
-    timings: dict[str, float] = {"spatial_pipeline": round(headline_sec, 3)}
     if not headline_only:
-        for name in BENCH_QUERIES:
+        for name in bench_queries:
             t0 = time.time()
             df = queries[name](spark, sf_dir)
             n = df.count()
@@ -171,7 +181,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
-        "images_per_sec": round(n_img / headline_sec, 1),
+        "images_per_sec": round(n_img / headline_sec, 1) if headline_sec else 0.0,
         "n_images": n_img,
         "matched_boxes": n_rows,
         "cpus": int(cpus),

@@ -330,7 +330,13 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~2.5s; res≥5 or rings<2 shrink the guarantee enough that the
     # exact fallback dominates at sparse density). Results identical
     # across configs by the safe-join certificate.
-    out = knn_ops.knn_join_safe(queries, points, k=5, res=3, rings=3)
+    # single-row-group parquet scans as ONE task regardless of
+    # maxPartitionBytes — repartition the 24-byte/row points relation
+    # so the ring join runs at full parallelism (VERDICT r3 item 2)
+    out = knn_ops.knn_join_safe(
+        queries, points, k=5, res=3, rings=3,
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
     return out.select(
         "query_id",
         "point_id",
@@ -847,6 +853,20 @@ def _stream_table_source(spark: SparkSession, sf_dir: str, table: str):
     return src, lambda: shutil.rmtree(stream_dir, ignore_errors=True)
 
 
+def _snap_gate_result(df: DataFrame, root: str) -> DataFrame:
+    """Finalize a SnapStore-backed gate: materialize the result
+    (localCheckpoint → in-memory blocks, no store-file references
+    remain in the plan) and delete the temp store root (review
+    finding: lazy returns leaked a full table copy per gate
+    invocation). Results are gate-sized (≤ a few M slim rows), well
+    within block-manager memory."""
+    import shutil
+
+    out = df.localCheckpoint()
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def _run_stream_complete(agg, prefix: str, mode: str = "complete") -> DataFrame:
     """Run a streaming query to termination (availableNow, memory
     sink) and return the sink table. The uuid-named sink stays
@@ -1182,16 +1202,23 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
     base = orders.select(k.alias("id"), F.col("o_custkey").alias("v"), F.lit(0).alias("seq"))
-    store = SnapStore(spark, tempfile.mkdtemp(prefix="merge_gate_"), key="id")
-    store.create(base)
-    for s in (1, 2, 3):
-        batch = orders.filter(F.pmod(k, s + 3) == 0).select(
-            k.alias("id"),
-            (F.col("o_custkey") + s * 1000000).alias("v"),
-            F.lit(s).alias("seq"),
-        )
-        store.merge(batch)
-    return store.read().select("id", "v", "seq")
+    root = tempfile.mkdtemp(prefix="merge_gate_")
+    try:
+        store = SnapStore(spark, root, key="id")
+        store.create(base)
+        for s in (1, 2, 3):
+            batch = orders.filter(F.pmod(k, s + 3) == 0).select(
+                k.alias("id"),
+                (F.col("o_custkey") + s * 1000000).alias("v"),
+                F.lit(s).alias("seq"),
+            )
+            store.merge(batch)
+        return _snap_gate_result(store.read().select("id", "v", "seq"), root)
+    except BaseException:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        raise
 
 
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1207,23 +1234,30 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
-    store = SnapStore(spark, tempfile.mkdtemp(prefix="tt_gate_"), key="id")
-    s0 = store.create(
-        orders.select(k.alias("id"), F.col("o_custkey").alias("v"), F.lit(0).alias("seq"))
-    )
-    s1 = store.merge(
-        orders.filter(F.pmod(k, 4) == 0).select(
-            k.alias("id"), (F.col("o_custkey") + 1000000).alias("v"), F.lit(1).alias("seq")
+    root = tempfile.mkdtemp(prefix="tt_gate_")
+    try:
+        store = SnapStore(spark, root, key="id")
+        s0 = store.create(
+            orders.select(k.alias("id"), F.col("o_custkey").alias("v"), F.lit(0).alias("seq"))
         )
-    )
-    s2 = store.delete_keys(orders.filter(F.pmod(k, 10) == 0).select(k.alias("id")))
-    out = None
-    for tag, sid in ((0, s0), (1, s1), (2, s2)):
-        part = store.read(as_of=sid).select(
-            F.lit(tag).cast("long").alias("as_of"), "id", "v", "seq"
+        s1 = store.merge(
+            orders.filter(F.pmod(k, 4) == 0).select(
+                k.alias("id"), (F.col("o_custkey") + 1000000).alias("v"), F.lit(1).alias("seq")
+            )
         )
-        out = part if out is None else out.unionByName(part)
-    return out
+        s2 = store.delete_keys(orders.filter(F.pmod(k, 10) == 0).select(k.alias("id")))
+        out = None
+        for tag, sid in ((0, s0), (1, s1), (2, s2)):
+            part = store.read(as_of=sid).select(
+                F.lit(tag).cast("long").alias("as_of"), "id", "v", "seq"
+            )
+            out = part if out is None else out.unionByName(part)
+        return _snap_gate_result(out, root)
+    except BaseException:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        raise
 
 
 TIME_TRAVEL_SQL = """
@@ -1264,21 +1298,29 @@ def q_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
-    store = SnapStore(spark, tempfile.mkdtemp(prefix="lin_gate_"), key="id")
-    store.create(orders.select(k.alias("id"), F.col("o_custkey").alias("v")))
-    store.append(
-        orders.filter(F.pmod(k, 3) == 0).select(k.alias("id"), F.col("o_custkey").alias("v"))
-    )
-    store.merge(
-        orders.filter(F.pmod(k, 7) == 0).select(
-            k.alias("id"), (F.col("o_custkey") + 1).alias("v")
+    root = tempfile.mkdtemp(prefix="lin_gate_")
+    try:
+        store = SnapStore(spark, root, key="id")
+        store.create(orders.select(k.alias("id"), F.col("o_custkey").alias("v")))
+        store.append(
+            orders.filter(F.pmod(k, 3) == 0).select(k.alias("id"), F.col("o_custkey").alias("v"))
         )
-    )
-    store.delete_keys(orders.filter(F.pmod(k, 11) == 0).select(k.alias("id")))
-    w = Window.orderBy("snapshot_id")
-    return store.lineage().select(
-        F.row_number().over(w).cast("long").alias("step"), "op", "rows"
-    )
+        store.merge(
+            orders.filter(F.pmod(k, 7) == 0).select(
+                k.alias("id"), (F.col("o_custkey") + 1).alias("v")
+            )
+        )
+        store.delete_keys(orders.filter(F.pmod(k, 11) == 0).select(k.alias("id")))
+        w = Window.orderBy("snapshot_id")
+        out = store.lineage().select(
+            F.row_number().over(w).cast("long").alias("step"), "op", "rows"
+        )
+        return _snap_gate_result(out, root)
+    except BaseException:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        raise
 
 
 LINEAGE_SQL = """

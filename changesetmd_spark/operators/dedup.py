@@ -253,6 +253,7 @@ def minhash_lsh_pairs(
     threshold_q: int = JACCARD_T_Q,
     id_col: str = "doc_id",
     text_col: str = "text",
+    telemetry=None,
 ) -> DataFrame:
     """MinHash-LSH near-dup detection: candidates = pairs sharing any
     LSH band signature; refine = exact shingle Jaccard ≥ τ on the
@@ -282,6 +283,8 @@ def minhash_lsh_pairs(
         .select(F.col("ba.id").alias("doc_a"), F.col("bb.id").alias("doc_b"))
         .distinct()
     )
+    if telemetry is not None:
+        cands = telemetry.observe(cands, "minhash")
     a = sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("_bid"), F.col("sh").alias("sh_b"))
     common = (
@@ -504,6 +507,8 @@ def _banded_hamming_pairs(
     max_hamming: int,
     a_name: str,
     b_name: str,
+    telemetry=None,
+    family: str = "banded_hamming",
 ) -> DataFrame:
     """Shared band-LSH hamming machinery (SimHash over text, phash over
     images — any int64 signature family): explode each (id, sig) into
@@ -529,6 +534,11 @@ def _banded_hamming_pairs(
         )
         .distinct()
     )
+    if telemetry is not None:
+        # candidate count observed in the SAME action that refines the
+        # pairs (telemetry.CandidateTelemetry — the n²/2^bits
+        # collision-tail gauge); zero extra jobs
+        cands = telemetry.observe(cands, family)
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return cands.select(
         a_name, b_name, ham.cast("long").alias("hamming")
@@ -561,6 +571,7 @@ def simhash_pairs(
     max_hamming: int = SH_MAX_HAMMING,
     id_col: str = "doc_id",
     text_col: str = "text",
+    telemetry=None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance ≤ d — the shared
     band-LSH machinery over the 64-bit text signatures. Returns
@@ -569,7 +580,8 @@ def simhash_pairs(
     # consumers pipeline into one codegen stage each (see module notes)
     sigs = simhash_sigs(docs, id_col, text_col)
     return _banded_hamming_pairs(
-        sigs, SH_BANDS, SH_BAND_BITS, max_hamming, "doc_a", "doc_b"
+        sigs, SH_BANDS, SH_BAND_BITS, max_hamming, "doc_a", "doc_b",
+        telemetry=telemetry, family="simhash",
     )
 
 
@@ -600,6 +612,7 @@ def phash_neardup_pairs(
     max_hamming: int = PH_MAX_HAMMING,
     id_col: str = "image_id",
     phash_col: str = "phash",
+    telemetry=None,
 ) -> DataFrame:
     """Near-duplicate image pairs by perceptual-hash hamming distance —
     the shared band-LSH machinery over the 64-bit phash (16-bit bands
@@ -608,7 +621,8 @@ def phash_neardup_pairs(
     (img_a, img_b, hamming)."""
     sigs = images.select(F.col(id_col).alias("id"), F.col(phash_col).alias("sig"))
     return _banded_hamming_pairs(
-        sigs, PH_BANDS, PH_BAND_BITS, max_hamming, "img_a", "img_b"
+        sigs, PH_BANDS, PH_BAND_BITS, max_hamming, "img_a", "img_b",
+        telemetry=telemetry, family="phash",
     )
 
 

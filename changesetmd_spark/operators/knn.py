@@ -79,12 +79,25 @@ def knn_join_rings(
     p_lat: str = "lat",
     p_lon: str = "lon",
     broadcast_queries: bool | None = None,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Ring-accelerated kNN: candidates restricted to the query's
     ``rings``-disk of hex cells at ``res``. Exact when the k-th
     neighbor is within the guaranteed radius (see module docstring);
     verified against ``knn_join_exact`` in tests at the densities the
-    engine is benchmarked at."""
+    engine is benchmarked at.
+
+    ``min_parallelism``: when set, round-robin repartition the slim
+    (id, lat, lon) points relation to at least this many partitions
+    before the hex encode + broadcast join. The join's parallelism
+    otherwise equals the scan's split count, and a small parquet input
+    (one row group) scans as ONE task no matter what
+    ``maxPartitionBytes`` says — serializing the dominant stage. One
+    cheap shuffle of 24-byte rows buys full-cluster parallelism; at
+    real scale (many row groups) the input splits already provide it,
+    so leave unset."""
+    if min_parallelism:
+        points = points.repartition(min_parallelism)
     q = queries.withColumn(
         "_qcell", hexgrid.hex_cell(geo.clamp_lat(F.col(q_lat)), F.col(q_lon), res)
     ).withColumn("hex_cell", F.explode(hexgrid.grid_disk(F.col("_qcell"), rings))).drop(
@@ -114,10 +127,13 @@ def knn_join_safe(
     p_id: str = "point_id",
     p_lat: str = "lat",
     p_lon: str = "lon",
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """EXACT kNN at any density and any latitude: ring-accelerated
     candidates, then an exact fallback for precisely the queries the
-    rings cannot certify.
+    rings cannot certify. ``min_parallelism`` repartitions the slim
+    points relation ONCE (see ``knn_join_rings``); both the ring join
+    and the exact fallback reuse that partitioning.
 
     A query's ring result is provably global iff it found ≥ k
     candidates AND its k-th distance ≤ its *per-query* guarantee
@@ -137,6 +153,16 @@ def knn_join_safe(
     partitioning (no extra shuffle); the three consumers (certified
     rows, failed ids, zero-candidate anti-join) all read the
     checkpointed blocks instead of re-running the join."""
+    if min_parallelism:
+        # repartition AND materialize the slim points once: the ring
+        # join and the exact fallback both consume points, and without
+        # this each re-runs the (possibly single-task, see
+        # knn_join_rings) scan + shuffle. Measured 4.6s → 2.7s at
+        # sf0.1/local[32]. Only with min_parallelism set — it is the
+        # small-input escape hatch; at real scale points don't fit in
+        # block-manager memory and input splits already parallelize,
+        # so leave unset and the plan stays fully streaming.
+        points = points.repartition(min_parallelism).localCheckpoint()
     ringed = knn_join_rings(
         queries, points, k, res=res, rings=rings,
         q_id=q_id, q_lat=q_lat, q_lon=q_lon, p_id=p_id, p_lat=p_lat, p_lon=p_lon,

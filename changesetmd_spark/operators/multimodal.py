@@ -40,19 +40,83 @@ from ..synth import FMT_NAMES, MAGIC
 HEADER_LEN = 9  # 4 magic + 1 fmt + 2 w + 2 h
 
 
+# -- pluggable codec registry (VERDICT r3 item 5) ----------------------
+# Maps foreign blob formats onto the same decode contracts the engine's
+# operators consume. The FKIM/FKAU fake-codec paths stay first and
+# byte-identical (they gate the oracles); anything else walks the
+# registry. Registration happens at module import time, so executors
+# (which re-import this module) see the same codecs — on a real
+# cluster, ship registrations in a module imported via --py-files.
+# PIL / soundfile self-register iff importable (absent in this
+# container — verified; the NotImplementedError below names the hook).
+
+_IMAGE_CODECS: list = []  # (sniff(blob)->bool, decode(blob)->(fmt,w,h,px))
+_AUDIO_CODECS: list = []  # (sniff(blob)->bool, decode(blob)->(sr,n,pcm))
+
+
+def register_image_codec(sniff, decode) -> None:
+    """Plug a real image codec: ``sniff(blob)`` claims the blob,
+    ``decode(blob)`` returns (fmt, w, h, flat uint8 RGB pixels)."""
+    _IMAGE_CODECS.append((sniff, decode))
+
+
+def register_audio_codec(sniff, decode) -> None:
+    """Plug a real audio codec: ``decode(blob)`` returns
+    (sample_rate, n_samples, int16 mono PCM)."""
+    _AUDIO_CODECS.append((sniff, decode))
+
+
+try:  # pragma: no cover — PIL absent in this container
+    import io as _io
+
+    from PIL import Image as _PILImage
+
+    def _pil_decode(blob: bytes) -> tuple[str, int, int, np.ndarray]:
+        img = _PILImage.open(_io.BytesIO(bytes(blob)))
+        fmt = (img.format or "unknown").lower()
+        rgb = img.convert("RGB")
+        return fmt, rgb.width, rgb.height, np.asarray(rgb, dtype=np.uint8).reshape(-1)
+
+    register_image_codec(lambda blob: True, _pil_decode)  # PIL sniffs internally
+except ImportError:
+    pass
+
+try:  # pragma: no cover — soundfile absent in this container
+    import io as _sfio
+
+    import soundfile as _sf
+
+    def _sf_decode(blob: bytes) -> tuple[int, int, np.ndarray]:
+        data, sr = _sf.read(_sfio.BytesIO(bytes(blob)), dtype="int16", always_2d=True)
+        mono = data[:, 0]
+        return int(sr), len(mono), mono.astype(np.int16)
+
+    register_audio_codec(lambda blob: True, _sf_decode)
+except ImportError:
+    pass
+
+
 def decode_blob(blob: bytes) -> tuple[str, int, int, np.ndarray]:
-    """(fmt, w, h, pixels[h*w*3 uint8]) from a fake-codec blob."""
-    if blob[:4] != bytes(MAGIC):
-        raise NotImplementedError(
-            "real image codecs (PNG/JPEG) are not available in this "
-            "environment; only the FKIM fake codec is supported here — "
-            "swap this branch for PIL/turbojpeg on a real cluster"
-        )
-    fmt = FMT_NAMES[blob[4]]
-    w = int.from_bytes(blob[5:7], "big")
-    h = int.from_bytes(blob[7:9], "big")
-    px = np.frombuffer(blob, dtype=np.uint8, offset=HEADER_LEN)
-    return fmt, w, h, px
+    """(fmt, w, h, pixels[h*w*3 uint8]): FKIM fake codec (oracle-gated,
+    bit-exact) first, then the pluggable registry."""
+    if blob[:4] == bytes(MAGIC):
+        fmt = FMT_NAMES[blob[4]]
+        w = int.from_bytes(blob[5:7], "big")
+        h = int.from_bytes(blob[7:9], "big")
+        px = np.frombuffer(blob, dtype=np.uint8, offset=HEADER_LEN)
+        return fmt, w, h, px
+    for sniff, decode in _IMAGE_CODECS:
+        try:
+            if sniff(blob):
+                return decode(blob)
+        except Exception:
+            continue  # next codec gets a shot
+    raise NotImplementedError(
+        "no registered codec claims this blob (PIL auto-registers when "
+        "importable; it is absent in this container) — plug one in via "
+        "changesetmd_spark.operators.multimodal.register_image_codec("
+        "sniff, decode)"
+    )
 
 
 DECODE_STATS_SCHEMA = StructType(
@@ -253,21 +317,27 @@ AUDIO_STATS_SCHEMA = StructType(
 
 
 def decode_audio_blob(blob: bytes) -> tuple[int, int, np.ndarray]:
-    """(sample_rate, n_samples, int16 samples) from a fake audio blob.
-    Real codecs (mp3/flac/wav via soundfile/ffmpeg) are absent in this
-    container; they slot into this exact contract."""
+    """(sample_rate, n_samples, int16 samples): FKAU fake container
+    (oracle-gated, bit-exact) first, then the pluggable registry."""
     from ..synth import AUDIO_MAGIC
 
-    if blob[:4] != bytes(AUDIO_MAGIC):
-        raise NotImplementedError(
-            "real audio codecs are not available in this environment; "
-            "only the FKAU fake container is supported — swap this "
-            "branch for soundfile/ffmpeg on a real cluster"
-        )
-    sr = int.from_bytes(blob[4:8], "big")
-    n = int.from_bytes(blob[8:12], "big")
-    pcm = np.frombuffer(blob, dtype=">i2", offset=AUDIO_HEADER_LEN).astype(np.int16)
-    return sr, n, pcm
+    if blob[:4] == bytes(AUDIO_MAGIC):
+        sr = int.from_bytes(blob[4:8], "big")
+        n = int.from_bytes(blob[8:12], "big")
+        pcm = np.frombuffer(blob, dtype=">i2", offset=AUDIO_HEADER_LEN).astype(np.int16)
+        return sr, n, pcm
+    for sniff, decode in _AUDIO_CODECS:
+        try:
+            if sniff(blob):
+                return decode(blob)
+        except Exception:
+            continue
+    raise NotImplementedError(
+        "no registered codec claims this blob (soundfile auto-registers "
+        "when importable; it is absent in this container) — plug one in "
+        "via changesetmd_spark.operators.multimodal.register_audio_codec("
+        "sniff, decode)"
+    )
 
 
 def audio_stats(audio: DataFrame) -> DataFrame:

@@ -25,6 +25,8 @@ what an HTTP replication endpoint adapter would implement.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -126,9 +128,8 @@ class SyntheticReplicationSource:
 
 class FileReplicationSource:
     """Replication-endpoint adapter honoring the reference's wire
-    protocol over a local/``file://`` base (this sandbox has no
-    network; on a real cluster the base becomes the HTTPS endpoint and
-    nothing else changes):
+    protocol over a ``file://`` / plain-directory base or an
+    ``http(s)://`` endpoint:
 
     - ``head()``: fetch ``{base}/state.yaml`` and parse the
       ``sequence:`` line — the reference's server-state discovery
@@ -140,11 +141,34 @@ class FileReplicationSource:
       a streamed lxml parse.
     - ``comments_for(seq)``: the same file's <discussion> children
       flattened (the reference parses both relations from one stream).
+
+    HTTP(S) bases go through one urllib seam (``_open_url``) exactly
+    like the reference's urllib2.urlopen (changesetmd.py:290-300,
+    :337-343): state.yaml is read from the response stream; each diff
+    is downloaded ONCE to a driver-local temp file (diffs are MB-scale
+    — the reference also pulls the whole stream through the driver
+    process) and the distributed XML scan runs over that local copy,
+    shared by ``fetch`` and ``comments_for``. ``opener`` injects a
+    mock in tests (this sandbox has no network); anything returning a
+    context-managed binary stream works.
     """
 
-    def __init__(self, spark: SparkSession, base: str):
+    def __init__(self, spark: SparkSession, base: str, opener=None):
         self.spark = spark
         self.base = base.rstrip("/")
+        self._opener = opener
+        self._dl_dir: str | None = None
+        self._dl_cache: dict[int, str] = {}
+
+    def _is_http(self) -> bool:
+        return self.base.startswith(("http://", "https://"))
+
+    def _open_url(self, url: str):
+        if self._opener is not None:
+            return self._opener(url)
+        import urllib.request
+
+        return urllib.request.urlopen(url)  # noqa: S310 — http(s) only
 
     def _local_base(self) -> str:
         return self.base[len("file://"):] if self.base.startswith("file://") else self.base
@@ -152,8 +176,12 @@ class FileReplicationSource:
     def head(self) -> int:
         import re
 
-        with open(f"{self._local_base()}/state.yaml", encoding="utf-8") as f:
-            text = f.read()
+        if self._is_http():
+            with self._open_url(f"{self.base}/state.yaml") as r:
+                text = r.read().decode("utf-8")
+        else:
+            with open(f"{self._local_base()}/state.yaml", encoding="utf-8") as f:
+                text = f.read()
         m = re.search(r"^sequence:\s*(\d+)\s*$", text, re.MULTILINE)
         if not m:
             raise ValueError("state.yaml has no sequence line")
@@ -164,9 +192,42 @@ class FileReplicationSource:
         s = str(seq).zfill(9)
         return f"{s[:3]}/{s[3:6]}/{s[6:]}.osm.gz"
 
+    def _local_diff(self, seq: int) -> str:
+        """Download {base}/AAA/BBB/CCC.osm.gz once per sequence; the
+        .gz suffix is preserved so Spark's codec inference still
+        decompresses the scan."""
+        import shutil
+        import tempfile
+
+        if seq not in self._dl_cache:
+            if self._dl_dir is None:
+                self._dl_dir = tempfile.mkdtemp(prefix="repl_dl_")
+            local = os.path.join(self._dl_dir, f"{seq:09d}.osm.gz")
+            with self._open_url(f"{self.base}/{self.sequence_path(seq)}") as r:
+                with open(local, "wb") as f:
+                    shutil.copyfileobj(r, f)
+            self._dl_cache[seq] = local
+        return self._dl_cache[seq]
+
+    def close(self) -> None:
+        import shutil
+
+        if self._dl_dir is not None:
+            shutil.rmtree(self._dl_dir, ignore_errors=True)
+            self._dl_dir = None
+            self._dl_cache.clear()
+
+    def __del__(self):  # best-effort temp cleanup
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def _raw(self, seq: int):
         from .xml_ingest import read_changesets_xml
 
+        if self._is_http():
+            return read_changesets_xml(self.spark, self._local_diff(seq))
         return read_changesets_xml(self.spark, f"{self.base}/{self.sequence_path(seq)}")
 
     def fetch(self, seq: int) -> DataFrame:

@@ -87,9 +87,10 @@ class SnapStore:
         return snaps[-1]["id"] if snaps else -1
 
     # a log-lock holder only does an in-memory list edit + one file
-    # rename — milliseconds. A lockfile older than this is a crashed
-    # holder, not a slow one.
+    # rename — milliseconds. A lockfile older than this whose holder
+    # cannot be proven alive is a crashed holder, not a slow one.
     _LOG_LOCK_STALE_S = 10.0
+    _LOG_LOCK_TIMEOUT_S = 30.0
 
     def _log_lock(self):
         """Short critical section around log read-modify-write.
@@ -101,30 +102,79 @@ class SnapStore:
         O_CREAT|O_EXCL lockfile: atomic on any local/NFS filesystem;
         Iceberg's optimistic swap replaces this on a real catalog.
 
-        Crash recovery: a holder that died leaves the lockfile behind;
-        since the critical section is milliseconds, any lockfile older
-        than _LOG_LOCK_STALE_S is broken automatically (mtime check)
-        instead of wedging every future write."""
+        Crash recovery: the acquirer records its pid inside the
+        lockfile. A waiter breaks the lock only when the holder is
+        provably dead (recorded pid no longer exists) or, for a
+        lockfile with no readable pid (legacy / crashed mid-create),
+        when its mtime is older than _LOG_LOCK_STALE_S. Liveness is a
+        process check, not a clock check, so clock skew between
+        writers (e.g. NFS) can never break a LIVE holder's lock; a
+        live-but-stuck holder makes waiters time out loudly instead.
+        The break itself is an atomic rename to a waiter-unique name —
+        two waiters can both decide to break, but os.rename of the
+        same source succeeds for exactly one of them, so the second
+        can never delete the lock the first just re-acquired.
+        Cross-host NFS note: pid liveness is only meaningful on the
+        holder's host; a foreign dead holder falls into the no-proof
+        branch and is broken by staleness age."""
         import contextlib
         import time as _t
+
+        def _holder_alive(lock_path: str) -> bool | None:
+            """True/False if the recorded pid is alive/dead; None if
+            no pid is readable (fall back to mtime staleness)."""
+            try:
+                with open(lock_path) as f:
+                    pid = int(f.read().strip() or "0")
+            except (OSError, ValueError):
+                return None
+            if pid <= 0:
+                return None
+            try:
+                os.kill(pid, 0)
+                return True
+            except ProcessLookupError:
+                return False
+            except PermissionError:
+                return True  # exists, owned by another user
+
+        def _break(lock_path: str) -> None:
+            # atomic rename: exactly one waiter wins the break
+            doomed = lock_path + f".break-{uuid.uuid4().hex}"
+            try:
+                os.rename(lock_path, doomed)
+            except FileNotFoundError:
+                return  # another waiter won (or holder released)
+            try:
+                os.remove(doomed)
+            except FileNotFoundError:
+                pass
 
         @contextlib.contextmanager
         def _lock():
             lock_path = self._log_path() + ".lock"
-            deadline = _t.time() + 30.0
+            deadline = _t.time() + self._LOG_LOCK_TIMEOUT_S
             while True:
                 try:
                     fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                    os.close(fd)
+                    try:
+                        os.write(fd, str(os.getpid()).encode())
+                    finally:
+                        os.close(fd)
                     break
                 except FileExistsError:
-                    try:
-                        age = _t.time() - os.path.getmtime(lock_path)
+                    alive = _holder_alive(lock_path)
+                    if alive is False:
+                        _break(lock_path)  # holder provably dead
+                        continue
+                    if alive is None:
+                        try:
+                            age = _t.time() - os.path.getmtime(lock_path)
+                        except FileNotFoundError:
+                            continue  # released between open and stat
                         if age > self._LOG_LOCK_STALE_S:
-                            os.remove(lock_path)  # crashed holder
+                            _break(lock_path)
                             continue
-                    except FileNotFoundError:
-                        continue  # released between open and stat
                     if _t.time() > deadline:
                         raise ConcurrentWriteError(f"log lock stuck: {lock_path}")
                     _t.sleep(0.02)
@@ -159,8 +209,11 @@ class SnapStore:
 
     def _write_delta(self, df: DataFrame, op: str, meta: dict | None = None) -> int:
         t0 = time.time()
-        snap_id = len(self.snapshots())
-        path = os.path.join(self.root, "data", f"snap-{snap_id:06d}")
+        # uuid-named data dir: the snapshot id is assigned by _commit
+        # INSIDE the log lock, so concurrent writers can neither race
+        # to the same directory nor return an id that diverges from
+        # the committed entry (the entry records the path)
+        path = os.path.join(self.root, "data", f"snap-{uuid.uuid4().hex[:12]}")
         df.write.mode("errorifexists").parquet(path)
         wall_ms = int((time.time() - t0) * 1000)
         # lineage metrics from parquet FOOTERS (pyarrow metadata read,
@@ -175,7 +228,7 @@ class SnapStore:
             for i, f in enumerate(files)
         ]
         rows = sum(p["rows"] for p in part_rows)
-        self._commit(
+        return self._commit(
             {
                 "op": op,
                 "path": path,
@@ -187,7 +240,6 @@ class SnapStore:
                 **(meta or {}),
             }
         )
-        return snap_id
 
     def _keyed_deltas_since_compact(self) -> int:
         return len([s for s in self._deltas() if s["op"] in (OP_MERGE, OP_DELETE)])
@@ -250,6 +302,14 @@ class SnapStore:
         data directories deleted after — a crash mid-way leaves
         flagged-but-present snapshots (reads fail loudly, correct) and
         the next expire() call reaps any such orphaned directories.
+        Reader race: a reader that built its snapshot list before the
+        flag-commit re-validates path existence at DataFrame-build
+        time (_check_live), converting the race into the same loud
+        expired error. Remaining window — a LAZY DataFrame obtained
+        before expire and acted on after the deletes fails at action
+        time with Spark's file-not-found; documented limitation (an
+        action-time hook would need a custom data source; Iceberg's
+        snapshot pinning solves this on a real catalog).
         Takes the writer mutex; the log rewrite itself additionally
         holds the log lock so a concurrent _commit can never be
         dropped. Returns {'expired': n, 'bytes_freed': bytes}."""
@@ -294,6 +354,16 @@ class SnapStore:
         if dead:
             raise ValueError(
                 f"snapshot(s) {dead} expired — data removed by expire_snapshots()"
+            )
+        # a reader that loaded the log BEFORE a concurrent expire's
+        # flag-commit can reach here with unflagged-but-deleted paths;
+        # re-validate existence so it gets the loud expired error, not
+        # an opaque parquet PATH_NOT_FOUND
+        gone = sorted(s["id"] for s in snaps if not os.path.isdir(s["path"]))
+        if gone:
+            raise ValueError(
+                f"snapshot(s) {gone} expired — data removed by a concurrent "
+                "expire_snapshots()"
             )
 
     # -- reads --------------------------------------------------------
@@ -418,6 +488,29 @@ class SnapStore:
         ]
         return self.spark.createDataFrame(
             rows, "snapshot_id long, partition_id int, rows long"
+        )
+
+    # -- operational metrics sidecar (e.g. LSH candidate telemetry) ----
+
+    def log_metric(self, kind: str, name: str, value: int) -> None:
+        """Append one operational metric (JSONL sidecar). Shares the
+        log lock so concurrent appenders never interleave a line."""
+        row = {"ts": time.time(), "kind": kind, "name": name, "value": int(value)}
+        with self._log_lock():
+            with open(os.path.join(self.root, "metrics.jsonl"), "a") as f:
+                f.write(json.dumps(row) + "\n")
+
+    def custom_metrics(self) -> DataFrame:
+        path = os.path.join(self.root, "metrics.jsonl")
+        rows = []
+        if os.path.exists(path):
+            with open(path) as f:
+                rows = [
+                    (r["ts"], r["kind"], r["name"], r["value"])
+                    for r in map(json.loads, f)
+                ]
+        return self.spark.createDataFrame(
+            rows, "ts double, kind string, name string, value long"
         )
 
     # -- state / watermark (queries.py:28-35) ---------------------------

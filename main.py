@@ -57,10 +57,11 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--toseq", type=int, default=None)
     pr.add_argument(
         "--base", default=None,
-        help="replication endpoint base (file:///dir or a directory) "
-             "speaking the reference wire protocol — state.yaml head + "
-             "AAA/BBB/CCC.osm.gz diffs (reference -r --url, "
-             "changesetmd.py:518-520); omitted = synthetic source",
+        help="replication endpoint base (http(s)://host/path, "
+             "file:///dir, or a directory) speaking the reference wire "
+             "protocol — state.yaml head + AAA/BBB/CCC.osm.gz diffs "
+             "(reference -r --url, changesetmd.py:518-520); omitted = "
+             "synthetic source",
     )
 
     pe = sub.add_parser("expire", help="expire unreachable snapshots (table maintenance)")

@@ -145,3 +145,29 @@ def test5_wire_protocol_replication_with_resume(cli, tmp_path, spark):
         (r.comment_changeset_id, r.comment_text) for r in cm_a.read().collect()
     )
     assert com == [(2, "c2"), (6, "c6final")]
+
+
+def test6_replicate_http_base_accepted(cli, tmp_path, spark, monkeypatch):
+    """`replicate --base http://...` is CLI-reachable: the adapter's
+    urllib seam is monkeypatched to serve a local endpoint directory
+    (no network in this sandbox) and the run replicates to head."""
+    from test_snapstore_replication import _cs_xml, _osm_doc, _write_endpoint
+
+    import changesetmd_spark.sources.replication as repl
+    from changesetmd_spark.sources.snapstore import SnapStore
+
+    base = tmp_path / "repl"
+    base.mkdir()
+    _write_endpoint(base, {1: _osm_doc([_cs_xml(1, 1), _cs_xml(2, 1, ["c2"])])})
+
+    monkeypatch.setattr(
+        repl.FileReplicationSource,
+        "_open_url",
+        lambda self, url: open(base / url.split("http.example/", 1)[1], "rb"),
+    )
+    root = tmp_path / "t6"
+    assert cli(["create", "--root", str(root)]) == 0
+    assert cli(["replicate", "--root", str(root), "--base", "http://http.example"]) == 0
+    store = SnapStore(spark, str(root / "changesets"), key="id")
+    assert store.read_state()["last_sequence"] == 1
+    assert store.read().count() == 2

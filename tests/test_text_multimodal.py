@@ -170,13 +170,55 @@ def test_audio_stats_closed_form(spark):
 
 
 def test_audio_rejects_unknown_codec():
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError, match="register_audio_codec"):
         multimodal.decode_audio_blob(b"RIFF" + b"\x00" * 20)
 
 
 def test_decode_rejects_unknown_codec():
-    with pytest.raises(NotImplementedError):
+    # the error must name the pluggable-registry hook (VERDICT r3 item 5)
+    with pytest.raises(NotImplementedError, match="register_image_codec"):
         multimodal.decode_blob(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)
+
+
+def test_codec_registry_dispatch_and_fake_path_unchanged():
+    """Pluggable registry (VERDICT r3 item 5): a registered codec
+    claims foreign magics; the FKIM/FKAU fake paths stay first and
+    byte-identical (they gate the oracles); unknown blobs still fail
+    loudly after an unclaiming registry walk."""
+    import numpy as np
+
+    fake_png = b"\x89PNG\r\n\x1a\n" + b"\x01\x02\x03"
+
+    def sniff(blob):
+        return bytes(blob[:4]) == b"\x89PNG"
+
+    def decode(blob):
+        return "png", 1, 1, np.array([1, 2, 3], dtype=np.uint8)
+
+    multimodal.register_image_codec(sniff, decode)
+    try:
+        fmt, w, h, px = multimodal.decode_blob(fake_png)
+        assert (fmt, w, h) == ("png", 1, 1) and px.tolist() == [1, 2, 3]
+        # (FKIM-branch byte-identity is covered by
+        # test_fake_codec_roundtrip_lossless_and_psnr + oracle gates)
+        # unknown magic still raises (registry sniff declines)
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_blob(b"GIF89a" + b"\x00" * 10)
+    finally:
+        multimodal._IMAGE_CODECS.clear()
+
+    def asniff(blob):
+        return bytes(blob[:4]) == b"RIFF"
+
+    def adecode(blob):
+        return 8000, 2, np.array([5, -5], dtype=np.int16)
+
+    multimodal.register_audio_codec(asniff, adecode)
+    try:
+        sr, n, pcm = multimodal.decode_audio_blob(b"RIFF" + b"\x00" * 8)
+        assert (sr, n) == (8000, 2) and pcm.tolist() == [5, -5]
+    finally:
+        multimodal._AUDIO_CODECS.clear()
 
 
 def test_frame_sample_video_payloads(spark):

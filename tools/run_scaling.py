@@ -8,6 +8,13 @@ Spark cannot change master in-process): a local[1..32] core ladder.
 Usage:
   python tools/run_scaling.py              # run ladder + write report
   python tools/run_scaling.py --report     # rewrite report from saved json
+  python tools/run_scaling.py --queries    # per-query 8-vs-32-core legs
+
+Min-merge policy: re-runs keep the BEST (min-wall-time) sample per
+leg — but ONLY among samples from the same code version (git SHA,
+review finding: after a perf-relevant change, merging with old-build
+samples silently reports stale numbers). A leg whose stored sample
+carries a different SHA is reset by the new run.
 """
 
 from __future__ import annotations
@@ -21,21 +28,52 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LADDER = (1, 2, 4, 8, 16, 32)
 STEPS4 = ((1, 4), (2, 8), (4, 16), (8, 32))
+# per-query ladder (VERDICT r3 item 6): the top-3 most expensive gated
+# queries, timed at 8 and 32 cores
+QUERY_LADDER_QUERIES = ("knn", "spatial_contains_count", "merge_upsert")
+QUERY_LADDER_CORES = (8, 32)
 
 
-def run_bench(cpus: int, sf_dir: str) -> dict:
+def git_sha() -> str:
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=REPO, timeout=10,
+        ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"],
+            capture_output=True, text=True, cwd=REPO, timeout=10,
+        ).stdout.strip()
+        return sha + ("-dirty" if dirty else "")
+    except Exception:
+        return "unknown"
+
+
+def run_bench(cpus: int, sf_dir: str, queries: str | None = None) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SF_DIR=sf_dir,
-        SPARK_GRAFT_HEADLINE_ONLY="1",
     )
+    if queries:
+        env["SPARK_GRAFT_QUERIES"] = queries
+    else:
+        env["SPARK_GRAFT_HEADLINE_ONLY"] = "1"
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=1800, cwd=REPO,
     )
     line = [ln for ln in out.stdout.splitlines() if ln.strip().startswith("{")][-1]
     return json.loads(line)
+
+
+def min_merge(old: dict | None, new: dict, sha: str) -> dict:
+    """Keep the faster sample iff the stored one is from the same
+    build; a SHA change resets the leg."""
+    new = dict(new, sha=sha)
+    if old and old.get("sha") == sha and old.get("value", 1e18) <= new["value"]:
+        return old
+    return new
 
 
 def write_report(results: dict[int, dict]) -> None:
@@ -60,7 +98,10 @@ re-run (e.g. across rounds, or because a leg was visibly contaminated
 by background load), BENCH/scaling_results.json keeps the BEST
 (min-wall-time) sample per leg — noise on a shared host only ever
 slows a leg down, so min-of-N is the unbiased estimator of the
-machine's capability at that core count.
+machine's capability at that core count. Samples are tagged with the
+git SHA they were measured at and only min-merged within the same
+SHA: a code change resets the leg, so a stale faster sample from an
+older build can never shadow the current build's number.
 
 Headline job (bench.py::spatial_pipeline): parquet scan of the
 synthesized image+caption table ({n:,} rows incl. binary payloads;
@@ -142,28 +183,97 @@ strictly more per record (geotag, two cell encodes, cover join,
 containment refine, tile assign, rollup). At the reference's
 replication rate (~75 recs/sec) the gap is {x[32] / 75:,.0f}x.
 """
+    md += query_ladder_md()
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print("wrote BENCH/BASELINE.md")
 
 
+def _load(path: str) -> dict:
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {}
+
+
+def run_query_ladder(sf_dir: str, sha: str, n: int = 2) -> dict:
+    """Per-query 8-vs-32-core legs for the most expensive gated
+    queries. Each leg: fresh JVM running all three queries in one
+    session (driver-bench-like warmth); min over ``n`` process
+    invocations, same-SHA min-merged with stored samples."""
+    qpath = os.path.join(REPO, "BENCH", "scaling_queries.json")
+    stored = _load(qpath)
+    qlist = ",".join(QUERY_LADDER_QUERIES)
+    for cpus in QUERY_LADDER_CORES:
+        best: dict | None = stored.get(str(cpus))
+        for _ in range(n):
+            r = run_bench(cpus, sf_dir, queries=qlist)
+            sample = {"value": sum(r["queries"].values()), "queries": r["queries"]}
+            best = min_merge(best, sample, sha)
+        stored[str(cpus)] = best
+        print(f"local[{cpus}] per-query: {best['queries']}")
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(qpath, "w") as f:
+        json.dump(stored, f, indent=2)
+    return stored
+
+
+def query_ladder_md() -> str:
+    qpath = os.path.join(REPO, "BENCH", "scaling_queries.json")
+    stored = _load(qpath)
+    if not all(str(c) in stored for c in QUERY_LADDER_CORES):
+        return ""
+    a, b = QUERY_LADDER_CORES
+    qa, qb = stored[str(a)]["queries"], stored[str(b)]["queries"]
+    md = f"""
+## Per-query scaling ({a} vs {b} cores, top-3 most expensive gated queries)
+
+Same input, fresh JVM per leg, min-of-N per leg (same-SHA samples
+only). Efficiency = (t{a}/t{b})/{b // a} — the single-host analog of the
+north_rule's N->4N throughput criterion applied per operator.
+
+| query | t({a} cores) s | t({b} cores) s | speedup | efficiency |
+|---|---|---|---|---|
+"""
+    for q in QUERY_LADDER_QUERIES:
+        sp = qa[q] / qb[q] if qb.get(q) else float("nan")
+        md += f"| {q} | {qa[q]} | {qb[q]} | {sp:.2f}x | {sp / (b // a):.2f} |\n"
+    md += """
+Reading: these queries are dominated by small-stage fixed overhead at
+this data scale (sub-seconds of real compute per stage), so the
+4x-core step mostly amortizes scheduling rather than compute —
+per-operator efficiency here is a LOWER bound; the same DRAM-saturation
+caveat as the headline ladder applies (see Analysis above). merge_upsert
+additionally serializes on snapshot-log commits (4 file renames) by
+design — the Iceberg-catalog analog on a real cluster.
+"""
+    return md
+
+
 def main() -> None:
     json_path = os.path.join(REPO, "BENCH", "scaling_results.json")
+    sha = git_sha()
     if "--report" in sys.argv:
-        with open(json_path) as f:
-            write_report(json.load(f))
+        write_report(_load(json_path))
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    results = {}
+    if "--queries" in sys.argv:
+        run_query_ladder(sf_dir, sha)
+        write_report(_load(json_path))
+        return
+    stored = _load(json_path)
     for cpus in LADDER:
-        results[cpus] = run_bench(cpus, sf_dir)
-        r = results[cpus]
-        print(f"local[{cpus}]: {r['images_per_sec']:,.0f} images/sec ({r['value']}s)")
+        r = run_bench(cpus, sf_dir)
+        stored[str(cpus)] = min_merge(stored.get(str(cpus)), r, sha)
+        print(
+            f"local[{cpus}]: {r['images_per_sec']:,.0f} images/sec ({r['value']}s)"
+            f" [kept {stored[str(cpus)]['value']}s]"
+        )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(json_path, "w") as f:
-        json.dump({str(c): results[c] for c in LADDER}, f, indent=2)
-    write_report({str(c): results[c] for c in LADDER})
+        json.dump(stored, f, indent=2)
+    write_report(stored)
 
 
 if __name__ == "__main__":
