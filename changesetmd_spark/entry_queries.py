@@ -30,6 +30,7 @@ from .operators import dedup as dedup_ops
 from .operators import knn as knn_ops
 from .operators import multimodal
 from .operators import overlay as overlay_ops
+from .operators import sampling as sampling_ops
 from .operators import similarity as sim_ops
 from .operators import spatial_join as sj
 from .operators import text as text_ops
@@ -397,6 +398,32 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (band buckets → hamming refine)."""
     return dedup_ops.simhash_pairs(load(spark, sf_dir, "documents"))
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution: MinHash-LSH near-dup PAIRS → connected
+    components (min-label propagation) → every doc labeled with its
+    cluster's canonical (minimum) id. Gated against a recursive-CTE
+    transitive closure in DuckDB, so the full pairs→clusters chain —
+    including transitivity the pairwise gates can't see — is checked
+    end-to-end."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup_ops.minhash_lsh_pairs(docs)
+    return dedup_ops.dedup_clusters(docs.select("doc_id"), pairs)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language Bernoulli sample (corpus mixing):
+    keep 60% en, 25% zh, 100% de, 5% everything else — exact
+    cross-engine via integer md5-prefix thresholds."""
+    docs = load(spark, sf_dir, "documents")
+    out = sampling_ops.stratified_sample(
+        docs, "lang", SAMPLE_FRACTIONS_PPM, id_col="doc_id", default_ppm=50_000
+    )
+    return out.select("doc_id", "lang")
+
+
+SAMPLE_FRACTIONS_PPM = {"en": 600_000, "zh": 250_000, "de": 1_000_000}
 
 
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1465,6 +1492,11 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard": dedup_ops.NGRAM_JACCARD_SQL(),
     "minhash_lsh": dedup_ops.MINHASH_LSH_SQL(),
     "simhash": dedup_ops.SIMHASH_PAIRS_SQL(),
+    "dedup_clusters": dedup_ops.DEDUP_CLUSTERS_SQL(dedup_ops.MINHASH_LSH_SQL()),
+    "stratified_sample": sampling_ops.STRATIFIED_SAMPLE_SQL(
+        "lang", SAMPLE_FRACTIONS_PPM, "doc_id", "documents",
+        default_ppm=50_000, select="doc_id, lang",
+    ),
     "text_features": f"""
         SELECT doc_id,
                {text_ops.LANG_ID_SQL('text')} AS lang_pred,
@@ -1657,6 +1689,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
+    "dedup_clusters": q_dedup_clusters,
+    "stratified_sample": q_stratified_sample,
     "text_features": q_text_features,
     "bpe_tokens": q_bpe_tokens,
     "token_packing": q_token_packing,

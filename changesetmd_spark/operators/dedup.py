@@ -637,3 +637,88 @@ def PHASH_NEARDUP_SQL(
     two expressions the columns."""
     sigs = f"SELECT {id_expr} AS id, {phash_expr} AS sig {from_clause}"
     return _BANDED_HAMMING_SQL(sigs, PH_BANDS, PH_BAND_BITS, max_hamming, "img_a", "img_b")
+
+
+# ---------------------------------------------------------------------------
+# cluster resolution — pairs → connected components
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate CLUSTERS: every id
+    is labeled with the minimum id of its connected component in the
+    pair graph (the canonical survivor a training pipeline keeps).
+    Pairs alone under-delete: {A~B, B~C} must collapse A,B,C to one
+    document even when (A,C) never met a similarity threshold.
+
+    Iterative min-label propagation: each round every vertex adopts
+    min(own label, neighbors' labels) — one equi-join + one map-side-
+    combined groupBy per round, labels localCheckpoint'ed so the plan
+    stays flat. Converges in O(component diameter) rounds; near-dup
+    components are star-like (diameter ≲ 4), so 3-5 rounds in
+    practice, with a loud failure at ``max_iter`` rather than a silent
+    partial clustering. At 10⁹+ vertices the same loop holds (labels
+    are one slim (id, comp) relation; swap localCheckpoint for a table
+    write between rounds); pathological long-chain graphs would want
+    the O(log n) large-star/small-star variant — not needed for
+    similarity graphs, which have bounded diameter by construction.
+
+    Returns (id_col, cluster_id): total over ``ids`` — singletons
+    cluster to themselves.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp")).localCheckpoint()
+    for _ in range(max_iter):
+        msgs = edges.join(labels.withColumnRenamed("id", "src"), "src").select(
+            F.col("dst").alias("id"), "comp"
+        )
+        new_labels = (
+            labels.unionByName(msgs).groupBy("id").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("comp", "_old"), "id")
+            .filter(F.col("comp") != F.col("_old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("id").alias(id_col), F.col("comp").alias("cluster_id"))
+    raise RuntimeError(f"dedup_clusters did not converge in {max_iter} rounds")
+
+
+def DEDUP_CLUSTERS_SQL(
+    pairs_sql: str,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    table: str = "documents",
+) -> str:
+    """Oracle twin: transitive closure by recursive CTE — every id
+    reaches every component member through the (symmetrized) edges, so
+    min(reached label) == min id of the component. UNION (not UNION
+    ALL) dedupes rows, guaranteeing the fixpoint terminates."""
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        edges AS (
+            SELECT {a_col} AS a, {b_col} AS b FROM pairs
+            UNION
+            SELECT {b_col} AS a, {a_col} AS b FROM pairs
+        ),
+        cc(id, comp) AS (
+            SELECT {id_col}, {id_col} FROM {table}
+            UNION
+            SELECT e.b, c.comp FROM cc c JOIN edges e ON e.a = c.id
+        )
+        SELECT id AS {id_col}, min(comp) AS cluster_id FROM cc GROUP BY id
+    """

@@ -176,6 +176,21 @@ def knn_join_safe(
         .withColumn("_cert", (F.col("_nk") >= k) & (F.col("_dk") <= guarantee))
     )
     safe_part = certed.filter(F.col("_cert")).drop("_nk", "_dk", "_cert")
+    # Short-circuit: at production density every query certifies and
+    # the whole fallback subplan (anti-join, two broadcasts, a points
+    # band join) would execute only to produce zero rows. Two scalar
+    # aggregates decide that — both over slim relations (certed reads
+    # the ≤|Q|·k checkpointed ring rows; the query count is one pass
+    # over the slim query relation) — so skipping the dead subplan
+    # costs O(|Q|) and saves its stages + codegen. Same output by
+    # construction: no uncertified and no zero-candidate queries ⇒
+    # safe_part IS the exact answer.
+    stats = certed.agg(
+        F.countDistinct(q_id).alias("nq"),
+        F.countDistinct(F.when(~F.col("_cert"), F.col(q_id))).alias("nu"),
+    ).collect()[0]
+    if stats.nu == 0 and stats.nq == queries.select(q_id).distinct().count():
+        return safe_part
     # uncertified queries carry their ring k-th distance as a BAND: the
     # ring candidates are a subset of all points, so the global k-th
     # distance is ≤ _dk — every global top-k point satisfies

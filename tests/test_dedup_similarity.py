@@ -404,3 +404,52 @@ def test_candidate_telemetry_counts_and_flush(spark, docs, vectors, tmp_path):
         for r in store.custom_metrics().filter(F.col("kind") == "lsh_candidates").collect()
     }
     assert rows == got
+
+
+def test_dedup_clusters_transitive_closure(spark):
+    """Pairs→clusters must be TRANSITIVE: a chain A~B, B~C, C~D
+    collapses to one cluster labeled min-id even though (A,C), (A,D),
+    (B,D) never met a threshold; singletons cluster to themselves."""
+    ids = spark.range(10).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        # chain 0-1-2-3, pair (7,8), reversed order pair (6,5)
+        [(0, 1), (1, 2), (2, 3), (7, 8), (6, 5)], "doc_a long, doc_b long"
+    )
+    out = dedup.dedup_clusters(ids, pairs)
+    got = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7, 8: 7, 9: 9}
+
+
+def test_dedup_clusters_nonconvergence_raises(spark):
+    ids = spark.range(4).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dedup_clusters(ids, pairs, max_iter=1)
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    """Same input → identical sample (no rand()); per-stratum keep
+    rate tracks the requested ppm; unlisted strata get default_ppm."""
+    from changesetmd_spark.operators import sampling
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").when(F.col("id") % 3 == 1, "zh")
+        .otherwise("xx").alias("lang"),
+    )
+    frac = {"en": 500_000, "zh": 100_000}
+    s1 = sampling.stratified_sample(df, "lang", frac, "doc_id").collect()
+    s2 = sampling.stratified_sample(df, "lang", frac, "doc_id").collect()
+    assert sorted(r.doc_id for r in s1) == sorted(r.doc_id for r in s2)
+    by = {}
+    for r in s1:
+        by[r.lang] = by.get(r.lang, 0) + 1
+    n_per = 4000 // 3
+    assert abs(by["en"] / n_per - 0.5) < 0.05
+    assert abs(by["zh"] / n_per - 0.1) < 0.03
+    assert "xx" not in by  # default_ppm=0 drops unlisted strata
+    s3 = sampling.stratified_sample(df, "lang", frac, "doc_id", default_ppm=PPM_ALL)
+    assert s3.filter(F.col("lang") == "xx").count() == n_per  # ppm=1e6 keeps all
+
+
+PPM_ALL = 1_000_000
