@@ -169,11 +169,19 @@ def main() -> None:
 
     queries = EQ.QUERIES
     if not headline_only:
-        for name in bench_queries:
-            t0 = time.time()
-            df = queries[name](spark, sf_dir)
-            n = df.count()
-            timings[name] = round(time.time() - t0, 3)
+        # query-subset mode (per-query scaling ladder): no headline
+        # warmup ran, so the first pass is dominated by JVM/codegen
+        # warmup, not the operator — run the list twice and keep the
+        # min per query (the full driver contract keeps single-pass
+        # timings, comparable across rounds)
+        passes = 2 if skip_headline else 1
+        for _ in range(passes):
+            for name in bench_queries:
+                t0 = time.time()
+                df = queries[name](spark, sf_dir)
+                n = df.count()
+                dt = round(time.time() - t0, 3)
+                timings[name] = min(timings.get(name, dt), dt)
 
     result = {
         "metric": "spatial_join_tile_assign_pipeline",

@@ -35,13 +35,21 @@ QUERY_LADDER_CORES = (8, 32)
 
 
 def git_sha() -> str:
+    """Code-version tag for ladder samples. Dirtiness is judged on the
+    CODE paths only — the ladder's own outputs (BENCH/*.json, the
+    report) and docs would otherwise flip the tag between two
+    back-to-back runs and wrongly reset every leg."""
+    code_paths = [
+        "changesetmd_spark", "tools", "tests",
+        "bench.py", "main.py", "__spark_entry__.py",
+    ]
     try:
         sha = subprocess.run(
             ["git", "rev-parse", "--short", "HEAD"],
             capture_output=True, text=True, cwd=REPO, timeout=10,
         ).stdout.strip()
         dirty = subprocess.run(
-            ["git", "status", "--porcelain"],
+            ["git", "status", "--porcelain", "--", *code_paths],
             capture_output=True, text=True, cwd=REPO, timeout=10,
         ).stdout.strip()
         return sha + ("-dirty" if dirty else "")
@@ -240,13 +248,18 @@ north_rule's N->4N throughput criterion applied per operator.
         sp = qa[q] / qb[q] if qb.get(q) else float("nan")
         md += f"| {q} | {qa[q]} | {qb[q]} | {sp:.2f}x | {sp / (b // a):.2f} |\n"
     md += """
-Reading: these queries are dominated by small-stage fixed overhead at
+Reading: each leg is a fresh JVM running the three queries twice,
+min per query (the second pass removes codegen/JIT warmup, which
+otherwise dominates — a cold JVM pays ~7x on its first complex
+query). These queries are dominated by small-stage fixed overhead at
 this data scale (sub-seconds of real compute per stage), so the
 4x-core step mostly amortizes scheduling rather than compute —
-per-operator efficiency here is a LOWER bound; the same DRAM-saturation
-caveat as the headline ladder applies (see Analysis above). merge_upsert
-additionally serializes on snapshot-log commits (4 file renames) by
-design — the Iceberg-catalog analog on a real cluster.
+per-operator efficiency here is a LOWER bound; the same
+DRAM-saturation caveat as the headline ladder applies (see Analysis
+above). merge_upsert additionally serializes on its four snapshot
+COMMITS by design (each delta write is a barrier; the log append
+itself is ~1 ms, measured by tools/merge_profile.py) — the
+Iceberg-catalog analog on a real cluster.
 """
     return md
 
