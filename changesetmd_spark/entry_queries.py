@@ -962,6 +962,40 @@ def q_stream_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cleanup()
 
 
+def q_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING dedup gate: exact content dedup executed as a real
+    Structured Streaming query. Duplicates are PLANTED (gate-hygiene
+    rule: the documents table has no duplicate texts, so a plain
+    distinct would verify vacuous truth): the stream self-unions with
+    id-shifted copies, so every text arrives twice under different
+    ids; the md5-group aggregation must pick each group's minimum id
+    and count 2. Oracle: the same union + group in batch SQL — the
+    streaming micro-batch dedup is held to the exact batch answer."""
+    src, cleanup = _stream_table_source(spark, sf_dir, "documents")
+    try:
+        doubled = src.select("doc_id", "text").unionByName(
+            src.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        )
+        agg = doubled.groupBy(F.md5("text").alias("_h")).agg(
+            F.min("doc_id").alias("kept_id"), F.count("*").alias("n_dups")
+        )
+        sink = _run_stream_complete(agg.drop("_h"), "stream_dedup")
+    finally:
+        cleanup()
+    return sink.select("kept_id", "n_dups")
+
+
+STREAM_EXACT_DEDUP_SQL = """
+    WITH doubled AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents
+    )
+    SELECT min(doc_id) AS kept_id, count(*) AS n_dups
+    FROM doubled GROUP BY md5(text)
+"""
+
+
 def q_stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSTOM STATEFUL streaming gate: per-user running stats held in
     applyInPandasWithState (streaming/stateful.py) driven as a real
@@ -1707,6 +1741,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_windows": q_event_windows,
     "stream_event_windows": q_stream_event_windows,
     "stream_user_state": q_stream_user_state,
+    "stream_exact_dedup": q_stream_exact_dedup,
     "stream_tile_rollup": q_stream_tile_rollup,
     "sessionize": q_sessionize,
     "moving_window": q_moving_window,
@@ -1727,6 +1762,7 @@ from .functions.hexgrid import HEX_CELL_SQL as _HEX_SQL  # noqa: E402
 from .operators.polygon_join import POINT_IN_CONVEX_POLYGON_SQL as _PIP_SQL  # noqa: E402
 
 ORACLES["stream_event_windows"] = ORACLES["event_windows"]
+ORACLES["stream_exact_dedup"] = STREAM_EXACT_DEDUP_SQL
 
 ORACLES["stream_user_state"] = """
     SELECT user_id, count(*) AS n_events,

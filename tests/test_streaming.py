@@ -140,3 +140,16 @@ def test_windowed_counts_streaming_drops_late_rows(spark, tmp_path):
     # lands in the 10:00 window depends on trigger internals — the
     # stable guarantees asserted here are single emission + withhold.)
     assert "2024-01-01 12:00:00" not in got
+
+
+def test_stream_exact_dedup_gate_plants_real_duplicates(spark):
+    """The streaming dedup gate must dedupe PLANTED duplicates (every
+    text arrives twice under different ids), not verify vacuous
+    distinctness: every group counts exactly 2 and keeps the smaller
+    (original) id."""
+    from changesetmd_spark import entry_queries as EQ
+
+    out = EQ.QUERIES["stream_exact_dedup"](spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 500
+    assert all(r.n_dups == 2 for r in out)
+    assert all(r.kept_id < 1000000 for r in out)  # original id wins
