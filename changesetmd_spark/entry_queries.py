@@ -880,6 +880,30 @@ def _stream_table_source(spark: SparkSession, sf_dir: str, table: str):
     return src, lambda: shutil.rmtree(stream_dir, ignore_errors=True)
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _snap_gate_store(spark: SparkSession, prefix: str, key: str):
+    """Temp SnapStore for a gate body: yields (store, root). The root
+    is deleted on error; on success the gate must finalize through
+    _snap_gate_result(out, root), which deletes it after
+    materializing. One structural cleanup pattern for every
+    SnapStore-backed gate (review finding: three gates carried
+    hand-copied try/except rmtree blocks)."""
+    import shutil
+    import tempfile
+
+    from .sources.snapstore import SnapStore
+
+    root = tempfile.mkdtemp(prefix=prefix)
+    try:
+        yield SnapStore(spark, root, key=key), root
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
 def _snap_gate_result(df: DataFrame, root: str) -> DataFrame:
     """Finalize a SnapStore-backed gate: materialize the result
     (localCheckpoint → in-memory blocks, no store-file references
@@ -1256,16 +1280,10 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     final state. The oracle computes the same latest-row-per-key
     resolution in pure SQL over the identical update stream — so the
     whole snapshot/merge read path is checked end-to-end."""
-    import tempfile
-
-    from .sources.snapstore import SnapStore
-
     orders = load(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
     base = orders.select(k.alias("id"), F.col("o_custkey").alias("v"), F.lit(0).alias("seq"))
-    root = tempfile.mkdtemp(prefix="merge_gate_")
-    try:
-        store = SnapStore(spark, root, key="id")
+    with _snap_gate_store(spark, "merge_gate_", "id") as (store, root):
         store.create(base)
         for s in (1, 2, 3):
             batch = orders.filter(F.pmod(k, s + 3) == 0).select(
@@ -1275,11 +1293,6 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             store.merge(batch)
         return _snap_gate_result(store.read().select("id", "v", "seq"), root)
-    except BaseException:
-        import shutil
-
-        shutil.rmtree(root, ignore_errors=True)
-        raise
 
 
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1289,15 +1302,9 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstructs every historical state in pure SQL over the identical
     update stream — so the snapshot log, the merge-on-read resolution
     AND tombstone semantics are all checked at every point in time."""
-    import tempfile
-
-    from .sources.snapstore import SnapStore
-
     orders = load(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
-    root = tempfile.mkdtemp(prefix="tt_gate_")
-    try:
-        store = SnapStore(spark, root, key="id")
+    with _snap_gate_store(spark, "tt_gate_", "id") as (store, root):
         s0 = store.create(
             orders.select(k.alias("id"), F.col("o_custkey").alias("v"), F.lit(0).alias("seq"))
         )
@@ -1314,11 +1321,6 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             out = part if out is None else out.unionByName(part)
         return _snap_gate_result(out, root)
-    except BaseException:
-        import shutil
-
-        shutil.rmtree(root, ignore_errors=True)
-        raise
 
 
 TIME_TRAVEL_SQL = """
@@ -1351,17 +1353,11 @@ def q_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     full merge-on-read state at that moment), so the bookkeeping —
     written from parquet footers, never a re-read — is value-checked,
     not just smoke-checked."""
-    import tempfile
-
     from pyspark.sql import Window
-
-    from .sources.snapstore import SnapStore
 
     orders = load(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
-    root = tempfile.mkdtemp(prefix="lin_gate_")
-    try:
-        store = SnapStore(spark, root, key="id")
+    with _snap_gate_store(spark, "lin_gate_", "id") as (store, root):
         store.create(orders.select(k.alias("id"), F.col("o_custkey").alias("v")))
         store.append(
             orders.filter(F.pmod(k, 3) == 0).select(k.alias("id"), F.col("o_custkey").alias("v"))
@@ -1377,11 +1373,6 @@ def q_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("long").alias("step"), "op", "rows"
         )
         return _snap_gate_result(out, root)
-    except BaseException:
-        import shutil
-
-        shutil.rmtree(root, ignore_errors=True)
-        raise
 
 
 LINEAGE_SQL = """

@@ -107,10 +107,14 @@ def decode_blob(blob: bytes) -> tuple[str, int, int, np.ndarray]:
         return fmt, w, h, px
     for sniff, decode in _IMAGE_CODECS:
         try:
-            if sniff(blob):
-                return decode(blob)
+            claimed = sniff(blob)
         except Exception:
-            continue  # next codec gets a shot
+            continue  # a codec that cannot even sniff it doesn't claim it
+        if claimed:
+            # decode errors PROPAGATE (review finding: swallowing them
+            # misreported corrupt blobs of a claimed format as
+            # "no codec registered")
+            return decode(blob)
     raise NotImplementedError(
         "no registered codec claims this blob (PIL auto-registers when "
         "importable; it is absent in this container) — plug one in via "
@@ -328,10 +332,11 @@ def decode_audio_blob(blob: bytes) -> tuple[int, int, np.ndarray]:
         return sr, n, pcm
     for sniff, decode in _AUDIO_CODECS:
         try:
-            if sniff(blob):
-                return decode(blob)
+            claimed = sniff(blob)
         except Exception:
             continue
+        if claimed:
+            return decode(blob)  # decode errors propagate (see image path)
     raise NotImplementedError(
         "no registered codec claims this blob (soundfile auto-registers "
         "when importable; it is absent in this container) — plug one in "

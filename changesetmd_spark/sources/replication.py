@@ -195,13 +195,25 @@ class FileReplicationSource:
     def _local_diff(self, seq: int) -> str:
         """Download {base}/AAA/BBB/CCC.osm.gz once per sequence; the
         .gz suffix is preserved so Spark's codec inference still
-        decompresses the scan."""
+        decompresses the scan. Only the CURRENT sequence's file is
+        kept (review finding: an unbounded cache over a 50k-sequence
+        catch-up would fill the driver's disk): fetching seq N evicts
+        every other cached diff — safe in the replication loop, which
+        fully materializes each batch (store.merge writes parquet)
+        before advancing. Callers holding a lazy DataFrame across
+        sequences must materialize it before the next fetch."""
         import shutil
         import tempfile
 
         if seq not in self._dl_cache:
             if self._dl_dir is None:
                 self._dl_dir = tempfile.mkdtemp(prefix="repl_dl_")
+            for old_seq, old_path in list(self._dl_cache.items()):
+                try:
+                    os.remove(old_path)
+                except FileNotFoundError:
+                    pass
+                del self._dl_cache[old_seq]
             local = os.path.join(self._dl_dir, f"{seq:09d}.osm.gz")
             with self._open_url(f"{self.base}/{self.sequence_path(seq)}") as r:
                 with open(local, "wb") as f:

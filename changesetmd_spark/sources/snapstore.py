@@ -87,9 +87,12 @@ class SnapStore:
         return snaps[-1]["id"] if snaps else -1
 
     # a log-lock holder only does an in-memory list edit + one file
-    # rename — milliseconds. A lockfile older than this whose holder
-    # cannot be proven alive is a crashed holder, not a slow one.
+    # rename — milliseconds. A lockfile older than STALE whose holder
+    # cannot be proven alive is a crashed holder, not a slow one; one
+    # older than HARD_STALE is crashed even if its recorded pid LOOKS
+    # alive (pid reuse / foreign host — see _log_lock docstring).
     _LOG_LOCK_STALE_S = 10.0
+    _LOG_LOCK_HARD_STALE_S = 120.0
     _LOG_LOCK_TIMEOUT_S = 30.0
 
     def _log_lock(self):
@@ -102,41 +105,54 @@ class SnapStore:
         O_CREAT|O_EXCL lockfile: atomic on any local/NFS filesystem;
         Iceberg's optimistic swap replaces this on a real catalog.
 
-        Crash recovery: the acquirer records its pid inside the
-        lockfile. A waiter breaks the lock only when the holder is
-        provably dead (recorded pid no longer exists) or, for a
-        lockfile with no readable pid (legacy / crashed mid-create),
-        when its mtime is older than _LOG_LOCK_STALE_S. Liveness is a
-        process check, not a clock check, so clock skew between
-        writers (e.g. NFS) can never break a LIVE holder's lock; a
-        live-but-stuck holder makes waiters time out loudly instead.
-        The break itself is an atomic rename to a waiter-unique name —
-        two waiters can both decide to break, but os.rename of the
-        same source succeeds for exactly one of them, so the second
-        can never delete the lock the first just re-acquired.
-        Cross-host NFS note: pid liveness is only meaningful on the
-        holder's host; a foreign dead holder falls into the no-proof
-        branch and is broken by staleness age."""
+        Crash recovery: the acquirer records ``host:pid`` inside the
+        lockfile. A waiter breaks the lock when (a) the holder is
+        provably dead — SAME host and the pid no longer exists (a
+        foreign host's process table says nothing about the holder, so
+        cross-host locks are never liveness-broken; review finding:
+        checking a foreign pid locally would misjudge a live remote
+        holder as dead) — or (b) no host:pid is readable (legacy /
+        crashed mid-create) and mtime is older than _LOG_LOCK_STALE_S,
+        or (c) regardless of apparent liveness, mtime is older than
+        _LOG_LOCK_HARD_STALE_S — the pid-reuse/foreign-host backstop:
+        the critical section is milliseconds, so a minutes-old lock is
+        a crashed holder whose pid was recycled (or a dead foreign
+        holder), and without this bound the store would wedge forever
+        (review finding). Clock skew can therefore delay but never
+        promptly break a live holder (the hard bound is minutes, the
+        section is ms); a live-but-stuck holder makes waiters time out
+        loudly until the hard bound passes. The break itself is an
+        atomic rename to a waiter-unique name — two waiters can both
+        decide to break, but os.rename of the same source succeeds for
+        exactly one of them, so the second can never delete the lock
+        the first just re-acquired."""
         import contextlib
+        import socket
         import time as _t
 
-        def _holder_alive(lock_path: str) -> bool | None:
-            """True/False if the recorded pid is alive/dead; None if
-            no pid is readable (fall back to mtime staleness)."""
+        def _holder_state(lock_path: str) -> str:
+            """'dead' / 'alive' (same-host pid check), 'foreign'
+            (holder on another host — only the HARD mtime bound may
+            break it), or 'unknown' (no readable record — legacy or
+            crashed mid-create; ordinary STALE mtime bound applies)."""
             try:
                 with open(lock_path) as f:
-                    pid = int(f.read().strip() or "0")
+                    rec = f.read().strip()
+                host, _, pid_s = rec.rpartition(":")
+                pid = int(pid_s or "0")
             except (OSError, ValueError):
-                return None
-            if pid <= 0:
-                return None
+                return "unknown"
+            if pid <= 0 or not host:
+                return "unknown"
+            if host != socket.gethostname():
+                return "foreign"
             try:
                 os.kill(pid, 0)
-                return True
+                return "alive"
             except ProcessLookupError:
-                return False
+                return "dead"
             except PermissionError:
-                return True  # exists, owned by another user
+                return "alive"  # exists, owned by another user
 
         def _break(lock_path: str) -> None:
             # atomic rename: exactly one waiter wins the break
@@ -158,23 +174,24 @@ class SnapStore:
                 try:
                     fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                     try:
-                        os.write(fd, str(os.getpid()).encode())
+                        os.write(fd, f"{socket.gethostname()}:{os.getpid()}".encode())
                     finally:
                         os.close(fd)
                     break
                 except FileExistsError:
-                    alive = _holder_alive(lock_path)
-                    if alive is False:
-                        _break(lock_path)  # holder provably dead
+                    state = _holder_state(lock_path)
+                    if state == "dead":
+                        _break(lock_path)  # same-host holder provably dead
                         continue
-                    if alive is None:
-                        try:
-                            age = _t.time() - os.path.getmtime(lock_path)
-                        except FileNotFoundError:
-                            continue  # released between open and stat
-                        if age > self._LOG_LOCK_STALE_S:
-                            _break(lock_path)
-                            continue
+                    try:
+                        age = _t.time() - os.path.getmtime(lock_path)
+                    except FileNotFoundError:
+                        continue  # released between open and stat
+                    if age > self._LOG_LOCK_HARD_STALE_S or (
+                        state == "unknown" and age > self._LOG_LOCK_STALE_S
+                    ):
+                        _break(lock_path)
+                        continue
                     if _t.time() > deadline:
                         raise ConcurrentWriteError(f"log lock stuck: {lock_path}")
                     _t.sleep(0.02)

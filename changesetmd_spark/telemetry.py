@@ -43,9 +43,14 @@ class CandidateTelemetry:
 
     def observe(self, candidates: DataFrame, family: str) -> DataFrame:
         """Wrap a candidate-pair relation with a metric point; returns
-        the (semantically identical) DataFrame to keep composing."""
+        the (semantically identical) DataFrame to keep composing.
+        Observing the same family twice on one instance gets distinct
+        keys (family, family#2, ...) — a dict would silently keep only
+        the last count (review finding)."""
+        n = sum(1 for f, _ in self._obs if f == family or f.startswith(f"{family}#"))
+        key = family if n == 0 else f"{family}#{n + 1}"
         obs = Observation()
-        self._obs.append((family, obs))
+        self._obs.append((key, obs))
         return candidates.observe(obs, F.count(F.lit(1)).alias("candidates"))
 
     def counts(self) -> dict[str, int]:

@@ -542,18 +542,28 @@ def test_live_holder_lock_never_broken_despite_old_mtime(spark, tmp_path, monkey
     import os
     import time
 
+    import socket
+
     store = SnapStore(spark, str(tmp_path / "cs"), key="id")
     lock = os.path.join(store.root, "snapshots.json.lock")
     with open(lock, "w") as f:
-        f.write(str(os.getpid()))  # a live process (ourselves)
-    old = time.time() - 20 * SnapStore._LOG_LOCK_STALE_S
+        f.write(f"{socket.gethostname()}:{os.getpid()}")  # a live holder (ourselves)
+    # older than the ordinary stale bound but younger than the hard
+    # pid-reuse backstop: a live holder must survive this range
+    old = time.time() - 5 * SnapStore._LOG_LOCK_STALE_S
     os.utime(lock, (old, old))
     monkeypatch.setattr(SnapStore, "_LOG_LOCK_TIMEOUT_S", 0.3)
     with pytest.raises(ConcurrentWriteError, match="log lock stuck"):
         store._commit({"op": "append", "path": "x", "rows": 0, "n_files": 0,
                        "wall_ms": 0, "rows_per_s": 0.0, "partitions": []})
     assert os.path.exists(lock)  # live holder's lock untouched
-    os.remove(lock)
+    # ...but past the HARD bound even an apparently-live pid is broken
+    # (pid reuse would otherwise wedge the store forever)
+    older = time.time() - 2 * SnapStore._LOG_LOCK_HARD_STALE_S
+    os.utime(lock, (older, older))
+    store._commit({"op": "append", "path": "x", "rows": 0, "n_files": 0,
+                   "wall_ms": 0, "rows_per_s": 0.0, "partitions": []})
+    assert not os.path.exists(lock)
 
 
 def test_dead_holder_lock_broken_immediately(spark, tmp_path):
@@ -564,15 +574,42 @@ def test_dead_holder_lock_broken_immediately(spark, tmp_path):
     import subprocess
     import time
 
+    import socket
+
     store = SnapStore(spark, str(tmp_path / "cs"), key="id")
     lock = os.path.join(store.root, "snapshots.json.lock")
     p = subprocess.Popen(["true"])
-    p.wait()  # reaped → pid guaranteed dead
+    p.wait()  # reaped -> pid guaranteed dead
     with open(lock, "w") as f:
-        f.write(str(p.pid))
+        f.write(f"{socket.gethostname()}:{p.pid}")
     # fresh mtime: the OLD mtime-only policy would have wedged 10s;
     # liveness breaks it immediately
     t0 = time.time()
     store.create(synth.changesets(spark, 5))
     assert store.read().count() == 5
     assert not os.path.exists(lock)
+
+
+def test_foreign_host_live_lock_not_broken_by_ordinary_staleness(spark, tmp_path, monkeypatch):
+    """A lock recorded by ANOTHER host must not be liveness-broken
+    (its pid means nothing in our process table) nor broken by the
+    ordinary 10s staleness bound (clock skew across hosts) — only the
+    minutes-scale HARD bound may reap it."""
+    import os
+    import time
+
+    store = SnapStore(spark, str(tmp_path / "cs"), key="id")
+    lock = os.path.join(store.root, "snapshots.json.lock")
+    with open(lock, "w") as f:
+        f.write("some-other-host:1")  # pid 1 is alive HERE, but foreign
+    old = time.time() - 5 * SnapStore._LOG_LOCK_STALE_S  # stale, < hard
+    os.utime(lock, (old, old))
+    monkeypatch.setattr(SnapStore, "_LOG_LOCK_TIMEOUT_S", 0.3)
+    with pytest.raises(ConcurrentWriteError, match="log lock stuck"):
+        store._commit({"op": "append", "path": "x", "rows": 0, "n_files": 0,
+                       "wall_ms": 0, "rows_per_s": 0.0, "partitions": []})
+    assert os.path.exists(lock)
+    older = time.time() - 2 * SnapStore._LOG_LOCK_HARD_STALE_S
+    os.utime(lock, (older, older))
+    store.create(synth.changesets(spark, 5))  # hard bound reaps it
+    assert store.read().count() == 5

@@ -198,10 +198,14 @@ replication rate (~75 recs/sec) the gap is {x[32] / 75:,.0f}x.
     print("wrote BENCH/BASELINE.md")
 
 
-def _load(path: str) -> dict:
+def _load(path: str, required: bool = False) -> dict:
     if os.path.exists(path):
         with open(path) as f:
             return json.load(f)
+    if required:
+        raise FileNotFoundError(
+            f"{path} — run `python tools/run_scaling.py` (no --report) first"
+        )
     return {}
 
 
@@ -268,12 +272,12 @@ def main() -> None:
     json_path = os.path.join(REPO, "BENCH", "scaling_results.json")
     sha = git_sha()
     if "--report" in sys.argv:
-        write_report(_load(json_path))
+        write_report(_load(json_path, required=True))
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--queries" in sys.argv:
         run_query_ladder(sf_dir, sha)
-        write_report(_load(json_path))
+        write_report(_load(json_path, required=True))
         return
     stored = _load(json_path)
     for cpus in LADDER:
