@@ -30,6 +30,7 @@ from .operators import dedup as dedup_ops
 from .operators import knn as knn_ops
 from .operators import multimodal
 from .operators import overlay as overlay_ops
+from .plans import strategy as plan_strategy
 from .operators import sampling as sampling_ops
 from .operators import similarity as sim_ops
 from .operators import spatial_join as sj
@@ -134,7 +135,9 @@ def orders_phash(k):
 
 def q_spatial_contains_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B4 flagship: images-per-polygon counts via cover join."""
-    points = points_from_orders(load(spark, sf_dir, "orders"))
+    points = plan_strategy.widen_if_narrow(
+        points_from_orders(load(spark, sf_dir, "orders"))
+    )
     boxes = boxes_from_customer(load(spark, sf_dir, "customer"))
     pairs = sj.contains_join(points, boxes, res=3, broadcast_boxes=True)
     return pairs.groupBy("box_id").agg(F.count("*").alias("n_points"))
@@ -142,7 +145,9 @@ def q_spatial_contains_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_spatial_contains_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B4 exact pair parity (no aggregation hiding mistakes)."""
-    points = points_from_orders(load(spark, sf_dir, "orders"))
+    points = plan_strategy.widen_if_narrow(
+        points_from_orders(load(spark, sf_dir, "orders"))
+    )
     boxes = boxes_from_customer(load(spark, sf_dir, "customer"))
     return sj.contains_join(points, boxes, res=3, broadcast_boxes=True).select(
         "point_id", "box_id"
@@ -151,7 +156,9 @@ def q_spatial_contains_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_spatial_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B4 via the shuffle+salting path (same answer, different plan)."""
-    points = points_from_orders(load(spark, sf_dir, "orders"))
+    points = plan_strategy.widen_if_narrow(
+        points_from_orders(load(spark, sf_dir, "orders"))
+    )
     boxes = boxes_from_customer(load(spark, sf_dir, "customer"))
     pairs = sj.contains_join(
         points, boxes, res=3, broadcast_boxes=False,
@@ -197,7 +204,9 @@ def q_spatial_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     join. Oracle: direct OR-condition wraparound predicate — so the
     split+join path is verified against the straight geographic
     semantics."""
-    points = points_from_orders(load(spark, sf_dir, "orders"))
+    points = plan_strategy.widen_if_narrow(
+        points_from_orders(load(spark, sf_dir, "orders"))
+    )
     wboxes = wrapping_boxes_from_supplier(load(spark, sf_dir, "supplier"))
     halves = sj.split_antimeridian(wboxes)
     pairs = sj.contains_join(
@@ -1187,7 +1196,9 @@ def q_polygon_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL over the same derived polygons."""
     from .operators import polygon_join as pj
 
-    points = points_from_orders(load(spark, sf_dir, "orders"))
+    points = plan_strategy.widen_if_narrow(
+        points_from_orders(load(spark, sf_dir, "orders"))
+    )
     polys = polygons_from_customer(load(spark, sf_dir, "customer"))
     pairs = pj.polygon_contains_join(
         points, polys, n_vertices=6, res=3, broadcast_polygons=True
@@ -1263,7 +1274,9 @@ def q_hex_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified, not just join results built on it."""
     from .functions import hexgrid
 
-    points = points_from_orders(load(spark, sf_dir, "orders"))
+    points = plan_strategy.widen_if_narrow(
+        points_from_orders(load(spark, sf_dir, "orders"))
+    )
     return (
         points.select(
             hexgrid.hex_cell(F.col("lat"), F.col("lon"), 2).alias("cell_r2"),

