@@ -396,17 +396,17 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (sparse inverted-index join)."""
-    return dedup_ops.ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
+    return dedup_ops.ngram_jaccard_pairs(plan_strategy.widen_if_narrow(load(spark, sf_dir, "documents")))
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pipeline (bands → candidates → exact refine)."""
-    return dedup_ops.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+    return dedup_ops.minhash_lsh_pairs(plan_strategy.widen_if_narrow(load(spark, sf_dir, "documents")))
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (band buckets → hamming refine)."""
-    return dedup_ops.simhash_pairs(load(spark, sf_dir, "documents"))
+    return dedup_ops.simhash_pairs(plan_strategy.widen_if_narrow(load(spark, sf_dir, "documents")))
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,7 +416,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive closure in DuckDB, so the full pairs→clusters chain —
     including transitivity the pairwise gates can't see — is checked
     end-to-end."""
-    docs = load(spark, sf_dir, "documents")
+    docs = plan_strategy.widen_if_narrow(load(spark, sf_dir, "documents"))
     pairs = dedup_ops.minhash_lsh_pairs(docs)
     return dedup_ops.dedup_clusters(docs.select("doc_id"), pairs)
 
@@ -437,7 +437,7 @@ SAMPLE_FRACTIONS_PPM = {"en": 600_000, "zh": 250_000, "de": 1_000_000}
 
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID + quality features + rolling fingerprint per doc."""
-    docs = load(spark, sf_dir, "documents")
+    docs = plan_strategy.widen_if_narrow(load(spark, sf_dir, "documents"))
     feats = text_ops.quality_features(F.col("text"))
     return docs.select(
         "doc_id",
@@ -460,7 +460,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle chains the identical stages in one SQL statement, so the
     COMPOSITION (filter before dedup, dedup before feature emit) is
     what the gate verifies."""
-    docs = load(spark, sf_dir, "documents")
+    docs = plan_strategy.widen_if_narrow(load(spark, sf_dir, "documents"))
     feats = text_ops.quality_features(F.col("text"))
     enriched = docs.select(
         "doc_id",
