@@ -39,3 +39,19 @@ def test_bucketed_join_no_shuffle_and_correct(spark, bucketed_tables):
     cm = synth.comments(spark, changeset_count=500, n=40)
     n_plain = cs.join(cm, cs.id == cm.comment_changeset_id).count()
     assert n_bucketed == n_plain > 0
+
+
+def test_widen_if_narrow_only_when_narrow(spark):
+    """widen_if_narrow repartitions a 1-split scan up to cluster
+    parallelism but leaves an already-parallel relation untouched (no
+    blanket shuffle at production split counts)."""
+    from changesetmd_spark.plans import strategy
+
+    narrow = spark.range(0, 1000, 1, numPartitions=1)
+    wide = spark.range(0, 1000, 1, numPartitions=64)
+    n = spark.sparkContext.defaultParallelism
+    out_n = strategy.widen_if_narrow(narrow)
+    out_w = strategy.widen_if_narrow(wide)
+    assert out_n.rdd.getNumPartitions() == n
+    assert out_w is wide  # untouched, not just same partition count
+    assert out_n.count() == 1000
