@@ -435,6 +435,17 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 SAMPLE_FRACTIONS_PPM = {"en": 600_000, "zh": 250_000, "de": 1_000_000}
 
 
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget corpus mixing: exactly min(40, |stratum|) docs per
+    language, drawn by deterministic hash rank (uniform without
+    replacement) — exact cross-engine via the shared (hash, id) total
+    order."""
+    docs = load(spark, sf_dir, "documents")
+    return sampling_ops.quota_sample(docs, "lang", 40, id_col="doc_id").select(
+        "doc_id", "lang"
+    )
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID + quality features + rolling fingerprint per doc."""
     docs = plan_strategy.widen_if_narrow(load(spark, sf_dir, "documents"))
@@ -1531,6 +1542,9 @@ ORACLES: dict[str, str] = {
     "minhash_lsh": dedup_ops.MINHASH_LSH_SQL(),
     "simhash": dedup_ops.SIMHASH_PAIRS_SQL(),
     "dedup_clusters": dedup_ops.DEDUP_CLUSTERS_SQL(dedup_ops.MINHASH_LSH_SQL()),
+    "quota_sample": sampling_ops.QUOTA_SAMPLE_SQL(
+        "lang", 40, "doc_id", "documents", select="doc_id, lang",
+    ),
     "stratified_sample": sampling_ops.STRATIFIED_SAMPLE_SQL(
         "lang", SAMPLE_FRACTIONS_PPM, "doc_id", "documents",
         default_ppm=50_000, select="doc_id, lang",
@@ -1729,6 +1743,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "dedup_clusters": q_dedup_clusters,
     "stratified_sample": q_stratified_sample,
+    "quota_sample": q_quota_sample,
     "text_features": q_text_features,
     "bpe_tokens": q_bpe_tokens,
     "token_packing": q_token_packing,

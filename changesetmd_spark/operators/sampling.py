@@ -72,3 +72,52 @@ def STRATIFIED_SAMPLE_SQL(
         WHERE {SAMPLE_UNIFORM_PPM_SQL(id_expr)}
               < CASE {strata_col} {cases} ELSE {default_ppm} END
     """
+
+
+def quota_sample(
+    df: DataFrame,
+    strata_col: str,
+    quota: int,
+    id_col: str,
+) -> DataFrame:
+    """Exact per-stratum budget: keep the ``quota`` rows of each
+    stratum with the smallest hash rank — a deterministic uniform
+    draw WITHOUT replacement (corpus mixing by absolute row counts,
+    the fixed-budget counterpart to ``stratified_sample``'s rates).
+
+    Rank = (md5-ppm hash, id) — the id tie-break makes the order
+    total, so the kept set is unique and identical cross-engine.
+    One shuffle on the stratum key with a windowed row_number; at
+    scale this is the standard top-k-per-group plan (rank pushdown
+    via WindowGroupLimit keeps per-partition heaps of ``quota`` rows,
+    so the shuffle carries candidates, not whole strata).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_uniform_ppm(F.col(id_col)).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= quota)
+        .drop("_rk")
+    )
+
+
+def QUOTA_SAMPLE_SQL(
+    strata_col: str,
+    quota: int,
+    id_expr: str,
+    table: str,
+    select: str = "*",
+) -> str:
+    """Oracle twin — identical hash rank + id tie-break."""
+    return f"""
+        SELECT {select} FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY {strata_col}
+                ORDER BY {SAMPLE_UNIFORM_PPM_SQL(id_expr)} ASC, {id_expr} ASC
+            ) AS _rk
+            FROM {table}
+        ) WHERE _rk <= {quota}
+    """

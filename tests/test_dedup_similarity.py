@@ -453,3 +453,24 @@ def test_stratified_sample_deterministic_and_proportional(spark):
 
 
 PPM_ALL = 1_000_000
+
+
+def test_quota_sample_exact_budget_and_determinism(spark):
+    """quota_sample keeps exactly min(quota, |stratum|) rows per
+    stratum, deterministically (same draw on re-run), and small strata
+    survive whole."""
+    from changesetmd_spark.operators import sampling
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 900, "big").otherwise("small").alias("lang"),
+    )
+    s1 = sampling.quota_sample(df, "lang", 50, "doc_id").collect()
+    s2 = sampling.quota_sample(df, "lang", 50, "doc_id").collect()
+    assert sorted(r.doc_id for r in s1) == sorted(r.doc_id for r in s2)
+    by = {}
+    for r in s1:
+        by[r.lang] = by.get(r.lang, 0) + 1
+    assert by == {"big": 50, "small": 50}
+    tiny = sampling.quota_sample(df.filter(F.col("doc_id") >= 990), "lang", 50, "doc_id")
+    assert tiny.count() == 10  # stratum smaller than quota survives whole
