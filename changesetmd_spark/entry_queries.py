@@ -1722,11 +1722,25 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+# Gated registry — exactly 50 entries, one per UNIQUE operator, ordered
+# unique-operator-first so a capped correctness harness can never drop a
+# gate that is the only check for an operator (round-4 lesson: the
+# driver records at most 50 rows; `polygon_contains`/`polygon_area`,
+# then the last two keys, silently fell off). The two redundant
+# streaming twins (`stream_event_windows`, `stream_tile_rollup`)
+# re-checked operators already oracle-gated in batch; they are retired
+# from the gated registry and pinned instead by
+# tests/test_streaming.py::test_stream_gates_match_batch_answers.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spatial_contains_count": q_spatial_contains_count,
     "spatial_contains_pairs": q_spatial_contains_pairs,
     "spatial_salted": q_spatial_salted,
     "spatial_wrap": q_spatial_wrap,
+    "polygon_contains": q_polygon_contains,
+    "polygon_area": q_polygon_area,
+    "hex_rollup": q_hex_rollup,
+    "knn": q_knn,
+    "tile_overlay": q_tile_overlay,
     "count_filter": q_count_filter,
     "json_lookup": q_json_lookup,
     "map_lookup": q_map_lookup,
@@ -1734,8 +1748,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_range": q_time_range,
     "area_filter": q_area_filter,
     "lat_clamp": q_lat_clamp,
-    "knn": q_knn,
-    "tile_overlay": q_tile_overlay,
     "exact_dedup": q_exact_dedup,
     "phash_neardup": q_phash_neardup,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1758,10 +1770,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_frames": q_video_frames,
     "audio_features": q_audio_features,
     "event_windows": q_event_windows,
-    "stream_event_windows": q_stream_event_windows,
     "stream_user_state": q_stream_user_state,
     "stream_exact_dedup": q_stream_exact_dedup,
-    "stream_tile_rollup": q_stream_tile_rollup,
     "sessionize": q_sessionize,
     "moving_window": q_moving_window,
     "quantiles": q_quantiles,
@@ -1772,15 +1782,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_upsert": q_merge_upsert,
     "time_travel": q_time_travel,
     "lineage": q_lineage,
-    "hex_rollup": q_hex_rollup,
-    "polygon_contains": q_polygon_contains,
-    "polygon_area": q_polygon_area,
 }
 
 from .functions.hexgrid import HEX_CELL_SQL as _HEX_SQL  # noqa: E402
 from .operators.polygon_join import POINT_IN_CONVEX_POLYGON_SQL as _PIP_SQL  # noqa: E402
 
-ORACLES["stream_event_windows"] = ORACLES["event_windows"]
 ORACLES["stream_exact_dedup"] = STREAM_EXACT_DEDUP_SQL
 
 ORACLES["stream_user_state"] = """
@@ -1799,9 +1805,9 @@ ORACLES["hex_rollup"] = f"""
     FROM p GROUP BY 1, 2
 """
 
-# the streaming tiling rollup must land on the exact same answer as
-# the batch plan — same oracle
-ORACLES["stream_tile_rollup"] = ORACLES["hex_rollup"]
+# (the retired stream_event_windows / stream_tile_rollup gates shared
+# event_windows' / hex_rollup's oracles; their streaming-equals-batch
+# parity is now pinned by pytest instead of a gated registry row)
 
 from .operators.polygon_join import POLYGON_AREA_Q_SQL as _PAREA_SQL  # noqa: E402
 

@@ -142,6 +142,26 @@ def test_windowed_counts_streaming_drops_late_rows(spark, tmp_path):
     assert "2024-01-01 12:00:00" not in got
 
 
+def test_stream_gates_match_batch_answers(spark):
+    """The retired-from-registry streaming twins (windowed agg, tiling
+    rollup) must still land on the EXACT batch answer — the parity the
+    gated rows used to pin via the shared DuckDB oracle. Registry
+    hygiene: these re-check operators already oracle-gated in batch
+    (event_windows, hex_rollup), so they live here instead of occupying
+    two of the driver's 50 correctness rows."""
+    from changesetmd_spark import entry_queries as EQ
+
+    sf = "/root/testdata/sf0.001"
+
+    stream_win = {tuple(r) for r in EQ.q_stream_event_windows(spark, sf).collect()}
+    batch_win = {tuple(r) for r in EQ.q_event_windows(spark, sf).collect()}
+    assert stream_win == batch_win and len(batch_win) > 10
+
+    stream_tile = {tuple(r) for r in EQ.q_stream_tile_rollup(spark, sf).collect()}
+    batch_tile = {tuple(r) for r in EQ.q_hex_rollup(spark, sf).collect()}
+    assert stream_tile == batch_tile and len(batch_tile) > 10
+
+
 def test_stream_exact_dedup_gate_plants_real_duplicates(spark):
     """The streaming dedup gate must dedupe PLANTED duplicates (every
     text arrives twice under different ids), not verify vacuous
