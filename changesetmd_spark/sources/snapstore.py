@@ -125,63 +125,46 @@ class SnapStore:
         atomic rename to a waiter-unique name — two waiters can both
         decide to break, but os.rename of the same source succeeds for
         exactly one of them, so the second can never delete the lock
-        the first just re-acquired."""
+        the first just re-acquired.
+
+        Break-after-reacquire TOCTOU (review finding): between a
+        waiter READING the holder record and its os.rename, another
+        waiter can break the same dead lock and a NEW holder can
+        acquire — the rename would then move the new live holder's
+        lockfile. Closed by verifying after the rename: the breaker
+        passes the record it based its decision on, re-reads the
+        renamed (doomed) file — the very inode it moved — and, on
+        mismatch, restores it via os.link (atomic, refuses to clobber
+        an even newer lock) instead of deleting it. Release is
+        similarly guarded: each acquisition writes a unique
+        host:pid:nonce record and only removes the lockfile if it
+        still carries its own nonce, so a holder whose lock was
+        (wrongly or rightly) broken mid-section can never reap a
+        successor's lock. A real Iceberg catalog replaces all of this
+        with a compare-and-swap commit."""
         import contextlib
         import socket
         import time as _t
 
-        def _holder_state(lock_path: str) -> str:
-            """'dead' / 'alive' (same-host pid check), 'foreign'
-            (holder on another host — only the HARD mtime bound may
-            break it), or 'unknown' (no readable record — legacy or
-            crashed mid-create; ordinary STALE mtime bound applies)."""
-            try:
-                with open(lock_path) as f:
-                    rec = f.read().strip()
-                host, _, pid_s = rec.rpartition(":")
-                pid = int(pid_s or "0")
-            except (OSError, ValueError):
-                return "unknown"
-            if pid <= 0 or not host:
-                return "unknown"
-            if host != socket.gethostname():
-                return "foreign"
-            try:
-                os.kill(pid, 0)
-                return "alive"
-            except ProcessLookupError:
-                return "dead"
-            except PermissionError:
-                return "alive"  # exists, owned by another user
-
-        def _break(lock_path: str) -> None:
-            # atomic rename: exactly one waiter wins the break
-            doomed = lock_path + f".break-{uuid.uuid4().hex}"
-            try:
-                os.rename(lock_path, doomed)
-            except FileNotFoundError:
-                return  # another waiter won (or holder released)
-            try:
-                os.remove(doomed)
-            except FileNotFoundError:
-                pass
-
         @contextlib.contextmanager
         def _lock():
             lock_path = self._log_path() + ".lock"
+            my_rec = f"{socket.gethostname()}:{os.getpid()}:{uuid.uuid4().hex[:8]}"
             deadline = _t.time() + self._LOG_LOCK_TIMEOUT_S
             while True:
                 try:
                     fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                     try:
-                        os.write(fd, f"{socket.gethostname()}:{os.getpid()}".encode())
+                        os.write(fd, my_rec.encode())
                     finally:
                         os.close(fd)
                     break
                 except FileExistsError:
-                    state = _holder_state(lock_path)
+                    rec = self._read_lock_record(lock_path)
+                    state = self._lock_holder_state(rec)
                     if state == "dead":
-                        _break(lock_path)  # same-host holder provably dead
+                        # same-host holder provably dead
+                        self._break_lock(lock_path, rec)
                         continue
                     try:
                         age = _t.time() - os.path.getmtime(lock_path)
@@ -190,7 +173,7 @@ class SnapStore:
                     if age > self._LOG_LOCK_HARD_STALE_S or (
                         state == "unknown" and age > self._LOG_LOCK_STALE_S
                     ):
-                        _break(lock_path)
+                        self._break_lock(lock_path, rec)
                         continue
                     if _t.time() > deadline:
                         raise ConcurrentWriteError(f"log lock stuck: {lock_path}")
@@ -198,12 +181,94 @@ class SnapStore:
             try:
                 yield
             finally:
-                try:
-                    os.remove(lock_path)
-                except FileNotFoundError:
-                    pass
+                # nonce-guarded release: only remove the lock if it is
+                # still OURS — if it was broken and re-acquired while we
+                # ran, removing by path would reap the new holder's lock
+                cur = self._read_lock_record(lock_path)
+                if cur is None or cur == my_rec:
+                    try:
+                        os.remove(lock_path)
+                    except FileNotFoundError:
+                        pass
 
         return _lock()
+
+    @staticmethod
+    def _read_lock_record(lock_path: str) -> str | None:
+        try:
+            with open(lock_path) as f:
+                return f.read().strip()
+        except OSError:
+            return None
+
+    @staticmethod
+    def _lock_holder_state(rec: str | None) -> str:
+        """'dead' / 'alive' (same-host pid check), 'foreign' (holder on
+        another host — only the HARD mtime bound may break it), or
+        'unknown' (no readable record — legacy or crashed mid-create;
+        ordinary STALE mtime bound applies). Records are
+        host:pid:nonce (nonce optional for legacy host:pid)."""
+        import socket
+
+        if not rec:
+            return "unknown"
+        parts = rec.split(":")
+        try:
+            if len(parts) >= 3:
+                host, pid_s = ":".join(parts[:-2]), parts[-2]
+            else:
+                host, _, pid_s = rec.rpartition(":")
+            pid = int(pid_s or "0")
+        except ValueError:
+            return "unknown"
+        if pid <= 0 or not host:
+            return "unknown"
+        if host != socket.gethostname():
+            return "foreign"
+        try:
+            os.kill(pid, 0)
+            return "alive"
+        except ProcessLookupError:
+            return "dead"
+        except PermissionError:
+            return "alive"  # exists, owned by another user
+
+    @staticmethod
+    def _break_lock(lock_path: str, expected_rec: str | None) -> None:
+        """Break a judged-dead lock: atomic rename (exactly one waiter
+        wins), then VERIFY the moved inode still carries the record
+        the break decision was based on. On mismatch — the
+        break-after-reacquire race — restore the innocent holder's
+        lock via os.link, which atomically refuses to clobber an even
+        newer lockfile; the new-holder critical section is
+        milliseconds, so a colliding restore retries briefly."""
+        import time as _t
+
+        doomed = lock_path + f".break-{uuid.uuid4().hex}"
+        try:
+            os.rename(lock_path, doomed)
+        except FileNotFoundError:
+            return  # another waiter won (or holder released)
+        actual = SnapStore._read_lock_record(doomed)
+        if actual is None or actual == expected_rec:
+            try:
+                os.remove(doomed)
+            except FileNotFoundError:
+                pass
+            return
+        # innocent holder: restore its lockfile without clobbering
+        for _ in range(50):
+            try:
+                os.link(doomed, lock_path)
+                break
+            except FileExistsError:
+                _t.sleep(0.01)  # newer acquirer present; it releases in ms
+            except FileNotFoundError:
+                break  # doomed vanished (shouldn't happen; nothing to restore)
+        try:
+            os.remove(doomed)
+        except FileNotFoundError:
+            pass
 
     def _rewrite_log(self, snaps: list[dict]) -> None:
         tmp = self._log_path() + f".tmp-{uuid.uuid4().hex}"

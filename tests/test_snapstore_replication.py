@@ -613,3 +613,53 @@ def test_foreign_host_live_lock_not_broken_by_ordinary_staleness(spark, tmp_path
     os.utime(lock, (older, older))
     store.create(synth.changesets(spark, 5))  # hard bound reaps it
     assert store.read().count() == 5
+
+
+def test_break_verifies_record_and_restores_innocent_holder(tmp_path):
+    """Break-after-reacquire TOCTOU (round-4 review finding): if,
+    between a waiter's read-and-judge and its rename, the lock was
+    broken by someone else and RE-ACQUIRED by a new live holder, the
+    rename moves the new holder's lockfile — the breaker must detect
+    the record mismatch and restore it, not delete it."""
+    import glob
+    import os
+    import socket
+
+    lock = str(tmp_path / "snapshots.json.lock")
+    live_rec = f"{socket.gethostname()}:{os.getpid()}:feedbeef"
+    with open(lock, "w") as f:
+        f.write(live_rec)  # the innocent new holder's lock
+
+    # the breaker judged a STALE record that is no longer there
+    SnapStore._break_lock(lock, "crashed-host:99999:deadcafe")
+
+    assert os.path.exists(lock)  # innocent holder keeps the lock
+    assert SnapStore._read_lock_record(lock) == live_rec
+    assert not glob.glob(lock + ".break-*")  # no debris
+
+    # matching record: the break goes through
+    SnapStore._break_lock(lock, live_rec)
+    assert not os.path.exists(lock)
+    assert not glob.glob(lock + ".break-*")
+
+
+def test_release_is_nonce_guarded_against_stolen_lock(spark, tmp_path):
+    """If a holder's lock is broken and re-acquired while it runs its
+    critical section, its release must NOT remove the successor's
+    lockfile (removal is by path; only the nonce proves ownership)."""
+    import os
+
+    store = SnapStore(spark, str(tmp_path / "cs"), key="id")
+    lock = os.path.join(store.root, "snapshots.json.lock")
+    successor = "other-host:4242:0badf00d"
+    with store._log_lock():
+        # simulate steal + re-acquire mid-section
+        with open(lock, "w") as f:
+            f.write(successor)
+    assert os.path.exists(lock)  # successor's lock survived our release
+    assert SnapStore._read_lock_record(lock) == successor
+    os.remove(lock)
+    # normal path still releases: lock is gone after an unmolested section
+    with store._log_lock():
+        assert SnapStore._read_lock_record(lock) is not None
+    assert not os.path.exists(lock)
