@@ -44,26 +44,106 @@ HEADER_LEN = 9  # 4 magic + 1 fmt + 2 w + 2 h
 # Maps foreign blob formats onto the same decode contracts the engine's
 # operators consume. The FKIM/FKAU fake-codec paths stay first and
 # byte-identical (they gate the oracles); anything else walks the
-# registry. Registration happens at module import time, so executors
-# (which re-import this module) see the same codecs — on a real
-# cluster, ship registrations in a module imported via --py-files.
-# PIL / soundfile self-register iff importable (absent in this
-# container — verified; the NotImplementedError below names the hook).
+# registry: USER-registered codecs first (so a user can always override
+# a built-in — round-4 review finding: PIL used to claim every blob,
+# making later registrations unreachable), then the dependency-free
+# built-in real-format decoders (uncompressed 24-bit BMP, 16-bit PCM
+# WAV — pure stdlib/numpy container parsers, always available), then
+# PIL / soundfile fallbacks which self-register iff importable (absent
+# in this container — verified; the NotImplementedError names the
+# hook) and now carry REAL sniffs (a failed header parse means "not
+# mine", not "claim and crash"). Registration happens at module import
+# time, so executors (which re-import this module) see the same codecs
+# — on a real cluster, ship registrations in a module imported via
+# --py-files.
 
-_IMAGE_CODECS: list = []  # (sniff(blob)->bool, decode(blob)->(fmt,w,h,px))
-_AUDIO_CODECS: list = []  # (sniff(blob)->bool, decode(blob)->(sr,n,pcm))
+_IMAGE_CODECS: list = []  # user: (sniff(blob)->bool, decode(blob)->(fmt,w,h,px))
+_AUDIO_CODECS: list = []  # user: (sniff(blob)->bool, decode(blob)->(sr,n,pcm))
+_BUILTIN_IMAGE_CODECS: list = []  # real-format parsers + optional PIL, walked AFTER user codecs
+_BUILTIN_AUDIO_CODECS: list = []
 
 
 def register_image_codec(sniff, decode) -> None:
     """Plug a real image codec: ``sniff(blob)`` claims the blob,
-    ``decode(blob)`` returns (fmt, w, h, flat uint8 RGB pixels)."""
+    ``decode(blob)`` returns (fmt, w, h, flat uint8 RGB pixels).
+    User codecs are walked before every built-in."""
     _IMAGE_CODECS.append((sniff, decode))
 
 
 def register_audio_codec(sniff, decode) -> None:
     """Plug a real audio codec: ``decode(blob)`` returns
-    (sample_rate, n_samples, int16 mono PCM)."""
+    (sample_rate, n_samples, int16 mono PCM).
+    User codecs are walked before every built-in."""
     _AUDIO_CODECS.append((sniff, decode))
+
+
+# -- built-in real-format decoders (no third-party deps) ---------------
+# These prove the registry contract on genuine foreign bytes: BMP and
+# WAV are real container formats with documented headers, parseable in
+# ~30 lines of stdlib/numpy — the decode path a PIL/libsndfile codec
+# would take, minus the compression families this sandbox can't test.
+
+
+def _bmp_sniff(blob) -> bool:
+    return bytes(blob[:2]) == b"BM" and len(blob) >= 54
+
+
+def _bmp_decode(blob) -> tuple[str, int, int, np.ndarray]:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER+): rows are 4-byte
+    aligned, stored bottom-up (top-down iff height < 0), BGR order."""
+    b = bytes(blob)
+    data_off = int.from_bytes(b[10:14], "little")
+    hdr_size = int.from_bytes(b[14:18], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if hdr_size < 40 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        raise ValueError(f"unsupported BMP variant (hdr={hdr_size}, bpp={bpp}, comp={comp})")
+    top_down, h = h < 0, abs(h)
+    stride = (w * 3 + 3) & ~3
+    px = np.frombuffer(b, dtype=np.uint8, offset=data_off, count=stride * h)
+    rows = px.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    rgb = rows[:, :, ::-1]  # BGR → RGB
+    return "bmp", w, h, np.ascontiguousarray(rgb).reshape(-1)
+
+
+def _wav_sniff(blob) -> bool:
+    b = bytes(blob[:12])
+    return b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+
+
+def _wav_decode(blob) -> tuple[int, int, np.ndarray]:
+    """Canonical RIFF/WAVE chunk walk: PCM (format tag 1), 16-bit;
+    multi-channel blobs return channel 0 (the mono contract)."""
+    b = bytes(blob)
+    pos, fmt_body, data_body = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        sz = int.from_bytes(b[pos + 4:pos + 8], "little")
+        body = b[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt_body = body
+        elif cid == b"data":
+            data_body = body
+        pos += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
+    if fmt_body is None or data_body is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt = int.from_bytes(fmt_body[0:2], "little")
+    n_ch = int.from_bytes(fmt_body[2:4], "little")
+    sr = int.from_bytes(fmt_body[4:8], "little")
+    bits = int.from_bytes(fmt_body[14:16], "little")
+    if audio_fmt != 1 or bits != 16 or n_ch < 1:
+        raise ValueError(f"unsupported WAV variant (fmt={audio_fmt}, bits={bits}, ch={n_ch})")
+    samples = np.frombuffer(data_body, dtype="<i2")
+    mono = np.ascontiguousarray(samples[::n_ch]).astype(np.int16)
+    return sr, len(mono), mono
+
+
+_BUILTIN_IMAGE_CODECS.append((_bmp_sniff, _bmp_decode))
+_BUILTIN_AUDIO_CODECS.append((_wav_sniff, _wav_decode))
 
 
 try:  # pragma: no cover — PIL absent in this container
@@ -71,13 +151,20 @@ try:  # pragma: no cover — PIL absent in this container
 
     from PIL import Image as _PILImage
 
+    def _pil_sniff(blob) -> bool:
+        try:
+            _PILImage.open(_io.BytesIO(bytes(blob))).verify()
+            return True
+        except Exception:
+            return False
+
     def _pil_decode(blob: bytes) -> tuple[str, int, int, np.ndarray]:
         img = _PILImage.open(_io.BytesIO(bytes(blob)))
         fmt = (img.format or "unknown").lower()
         rgb = img.convert("RGB")
         return fmt, rgb.width, rgb.height, np.asarray(rgb, dtype=np.uint8).reshape(-1)
 
-    register_image_codec(lambda blob: True, _pil_decode)  # PIL sniffs internally
+    _BUILTIN_IMAGE_CODECS.append((_pil_sniff, _pil_decode))
 except ImportError:
     pass
 
@@ -86,26 +173,33 @@ try:  # pragma: no cover — soundfile absent in this container
 
     import soundfile as _sf
 
+    def _sf_sniff(blob) -> bool:
+        try:
+            _sf.info(_sfio.BytesIO(bytes(blob)))
+            return True
+        except Exception:
+            return False
+
     def _sf_decode(blob: bytes) -> tuple[int, int, np.ndarray]:
         data, sr = _sf.read(_sfio.BytesIO(bytes(blob)), dtype="int16", always_2d=True)
         mono = data[:, 0]
         return int(sr), len(mono), mono.astype(np.int16)
 
-    register_audio_codec(lambda blob: True, _sf_decode)
+    _BUILTIN_AUDIO_CODECS.append((_sf_sniff, _sf_decode))
 except ImportError:
     pass
 
 
 def decode_blob(blob: bytes) -> tuple[str, int, int, np.ndarray]:
     """(fmt, w, h, pixels[h*w*3 uint8]): FKIM fake codec (oracle-gated,
-    bit-exact) first, then the pluggable registry."""
+    bit-exact) first, then user-registered codecs, then built-ins."""
     if blob[:4] == bytes(MAGIC):
         fmt = FMT_NAMES[blob[4]]
         w = int.from_bytes(blob[5:7], "big")
         h = int.from_bytes(blob[7:9], "big")
         px = np.frombuffer(blob, dtype=np.uint8, offset=HEADER_LEN)
         return fmt, w, h, px
-    for sniff, decode in _IMAGE_CODECS:
+    for sniff, decode in (*_IMAGE_CODECS, *_BUILTIN_IMAGE_CODECS):
         try:
             claimed = sniff(blob)
         except Exception:
@@ -116,9 +210,9 @@ def decode_blob(blob: bytes) -> tuple[str, int, int, np.ndarray]:
             # "no codec registered")
             return decode(blob)
     raise NotImplementedError(
-        "no registered codec claims this blob (PIL auto-registers when "
-        "importable; it is absent in this container) — plug one in via "
-        "changesetmd_spark.operators.multimodal.register_image_codec("
+        "no registered codec claims this blob (built-ins: BMP24, plus "
+        "PIL when importable — absent in this container) — plug one in "
+        "via changesetmd_spark.operators.multimodal.register_image_codec("
         "sniff, decode)"
     )
 
@@ -161,9 +255,6 @@ def decode_stats(images: DataFrame) -> DataFrame:
         for pdf in batches:
             ids = pdf["image_id"].to_numpy()
             blobs = [bytes(b) for b in pdf["bytes"]]
-            for b in blobs:
-                if b[:4] != bytes(MAGIC):
-                    decode_blob(b)  # raises the NotImplementedError path
             n = len(blobs)
             fmt_out = np.empty(n, dtype=object)
             w_out = np.zeros(n, dtype=np.int32)
@@ -171,14 +262,22 @@ def decode_stats(images: DataFrame) -> DataFrame:
             s_out = np.zeros(n, dtype=np.int64)
             mn_out = np.zeros(n, dtype=np.int32)
             mx_out = np.zeros(n, dtype=np.int32)
-            for (hdr, _), idxs in _shape_groups(blobs).items():
+            fk = [i for i, b in enumerate(blobs) if b[:4] == bytes(MAGIC)]
+            # foreign formats (BMP / user codec): per-row registry decode
+            # — rare mixed-format rows; the FKIM bulk stays vectorized
+            for i in (i for i in range(n) if blobs[i][:4] != bytes(MAGIC)):
+                fmt, w, h, px = decode_blob(blobs[i])
+                fmt_out[i], w_out[i], h_out[i] = fmt, w, h
+                s_out[i] = int(px.astype(np.int64).sum())
+                mn_out[i], mx_out[i] = int(px.min()), int(px.max())
+            for (hdr, _), idxs in _shape_groups([blobs[i] for i in fk]).items():
                 fmt = FMT_NAMES[hdr[0]]
                 w = int.from_bytes(hdr[1:3], "big")
                 h = int.from_bytes(hdr[3:5], "big")
                 m = np.stack(
-                    [np.frombuffer(blobs[i], dtype=np.uint8, offset=HEADER_LEN) for i in idxs]
+                    [np.frombuffer(blobs[fk[i]], dtype=np.uint8, offset=HEADER_LEN) for i in idxs]
                 )
-                ix = np.array(idxs)
+                ix = np.array([fk[i] for i in idxs])
                 fmt_out[ix] = fmt
                 w_out[ix], h_out[ix] = w, h
                 s_out[ix] = m.astype(np.int64).sum(axis=1)
@@ -283,13 +382,17 @@ def feature_embed(images: DataFrame) -> DataFrame:
         for pdf in batches:
             ids = pdf["image_id"].to_numpy()
             blobs = [bytes(b) for b in pdf["bytes"]]
-            for b in blobs:
-                if b[:4] != bytes(MAGIC):
-                    decode_blob(b)  # raises the NotImplementedError path
             out = np.empty((len(blobs), EMBED_DIM), dtype=np.float64)
+            # foreign formats: registry decode, then the same projection
+            # over the decoded RGB vector (per-row; rare mixed rows)
+            fk = [i for i, b in enumerate(blobs) if b[:4] == bytes(MAGIC)]
+            for i in (i for i in range(len(blobs)) if blobs[i][:4] != bytes(MAGIC)):
+                _, _, _, px = decode_blob(blobs[i])
+                proj = M[np.arange(len(px)) % EMBED_FOLD].astype(np.float64)
+                out[i] = (px.astype(np.float64) @ proj) / EMBED_SCALE
             # stack same-shape rows → ONE (n, L) @ (L, DIM) matmul per
             # shape group instead of a Python-level loop per image
-            for (_, blen), idxs in _shape_groups(blobs).items():
+            for (_, blen), idxs in _shape_groups([blobs[i] for i in fk]).items():
                 L = blen - HEADER_LEN
                 # float64 matmul: int64@int64 bypasses BLAS (slow C
                 # loops). Pixels ≤255 × ±1 signs over L≤~10^4 terms
@@ -297,9 +400,9 @@ def feature_embed(images: DataFrame) -> DataFrame:
                 # free speed with bit-identical output.
                 proj = M[np.arange(L) % EMBED_FOLD].astype(np.float64)  # (L, DIM)
                 m = np.stack(
-                    [np.frombuffer(blobs[i], dtype=np.uint8, offset=HEADER_LEN) for i in idxs]
+                    [np.frombuffer(blobs[fk[i]], dtype=np.uint8, offset=HEADER_LEN) for i in idxs]
                 ).astype(np.float64)
-                out[np.array(idxs)] = (m @ proj) / EMBED_SCALE
+                out[np.array([fk[i] for i in idxs])] = (m @ proj) / EMBED_SCALE
             yield pd.DataFrame({"image_id": ids, "embedding": list(out)})
 
     return images.select("image_id", "bytes").mapInPandas(run, EMBED_SCHEMA)
@@ -330,7 +433,7 @@ def decode_audio_blob(blob: bytes) -> tuple[int, int, np.ndarray]:
         n = int.from_bytes(blob[8:12], "big")
         pcm = np.frombuffer(blob, dtype=">i2", offset=AUDIO_HEADER_LEN).astype(np.int16)
         return sr, n, pcm
-    for sniff, decode in _AUDIO_CODECS:
+    for sniff, decode in (*_AUDIO_CODECS, *_BUILTIN_AUDIO_CODECS):
         try:
             claimed = sniff(blob)
         except Exception:
@@ -338,10 +441,10 @@ def decode_audio_blob(blob: bytes) -> tuple[int, int, np.ndarray]:
         if claimed:
             return decode(blob)  # decode errors propagate (see image path)
     raise NotImplementedError(
-        "no registered codec claims this blob (soundfile auto-registers "
-        "when importable; it is absent in this container) — plug one in "
-        "via changesetmd_spark.operators.multimodal.register_audio_codec("
-        "sniff, decode)"
+        "no registered codec claims this blob (built-ins: 16-bit PCM "
+        "WAV, plus soundfile when importable — absent in this "
+        "container) — plug one in via changesetmd_spark.operators."
+        "multimodal.register_audio_codec(sniff, decode)"
     )
 
 
@@ -364,12 +467,26 @@ def audio_stats(audio: DataFrame) -> DataFrame:
             en_o = np.zeros(n, dtype=np.int64)
             pk_o = np.zeros(n, dtype=np.int32)
             zc_o = np.zeros(n, dtype=np.int64)
+            from ..synth import AUDIO_MAGIC as _AM
+
+            # foreign containers (WAV / user codec): per-row registry
+            # decode — the FKAU bulk stays vectorized below
+            for i in (i for i in range(n) if blobs[i][:4] != bytes(_AM)):
+                sr0, n0, pcm = decode_audio_blob(blobs[i])
+                s = pcm.astype(np.int64)
+                sr_o[i], ns_o[i] = sr0, n0
+                dur_o[i] = n0 * 1000 // sr0
+                en_o[i] = int((s * s).sum())
+                pk_o[i] = int(np.abs(s).max()) if len(s) else 0
+                sign = s >= 0
+                zc_o[i] = int((sign[1:] != sign[:-1]).sum())
             # key on (header, byte length): a truncated blob sharing an
             # intact blob's header must NOT stack into its matrix (it
             # would crash np.stack batch-wide instead of failing alone)
             groups: dict[tuple, list[int]] = {}
             for i, b in enumerate(blobs):
-                groups.setdefault((b[:AUDIO_HEADER_LEN], len(b)), []).append(i)
+                if b[:4] == bytes(_AM):
+                    groups.setdefault((b[:AUDIO_HEADER_LEN], len(b)), []).append(i)
             for hdr, idxs in groups.items():
                 sr0, n0, _ = decode_audio_blob(blobs[idxs[0]])
                 m = np.stack(

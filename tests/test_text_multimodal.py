@@ -169,6 +169,144 @@ def test_audio_stats_closed_form(spark):
         assert r.zero_crossings == int((sign[1:] != sign[:-1]).sum())
 
 
+def _make_bmp(rgb_rows: list[list[tuple[int, int, int]]], top_down: bool = False) -> bytes:
+    """Hand-assemble a REAL uncompressed 24-bit BMP (BITMAPINFOHEADER):
+    4-byte-aligned rows, BGR order, bottom-up unless top_down."""
+    h, w = len(rgb_rows), len(rgb_rows[0])
+    stride = (w * 3 + 3) & ~3
+    rows = rgb_rows if top_down else rgb_rows[::-1]
+    body = b"".join(
+        b"".join(bytes([b_, g, r]) for (r, g, b_) in row) + b"\x00" * (stride - w * 3)
+        for row in rows
+    )
+    info = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + (-h if top_down else h).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")      # planes
+        + (24).to_bytes(2, "little")     # bpp
+        + (0).to_bytes(4, "little")      # BI_RGB
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 16                   # resolution / palette fields
+    )
+    file_hdr = b"BM" + (54 + len(body)).to_bytes(4, "little") + b"\x00" * 4 + (54).to_bytes(4, "little")
+    return file_hdr + info + body
+
+
+def _make_wav(ch0: list[int], ch1: list[int] | None = None, sr: int = 8000) -> bytes:
+    """Hand-assemble a REAL RIFF/WAVE 16-bit PCM container (stereo if
+    ch1 given); channel 0 is the engine's mono contract."""
+    chans = [ch0] if ch1 is None else [ch0, ch1]
+    n_ch = len(chans)
+    data = b"".join(
+        b"".join(int(c[i]).to_bytes(2, "little", signed=True) for c in chans)
+        for i in range(len(ch0))
+    )
+    fmt = (
+        (1).to_bytes(2, "little") + n_ch.to_bytes(2, "little")
+        + sr.to_bytes(4, "little") + (sr * n_ch * 2).to_bytes(4, "little")
+        + (n_ch * 2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+BMP_ROWS = [
+    [(255, 0, 0), (0, 255, 0)],
+    [(0, 0, 255), (10, 20, 30)],
+]
+BMP_FLAT = [255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30]
+
+
+def test_real_bmp_decodes_through_registry():
+    """A genuine foreign container (not the fake codec, not a mock)
+    traverses the registry: hand-built uncompressed 24-bit BMP, both
+    bottom-up and top-down row orders, exact RGB out."""
+    for td in (False, True):
+        fmt, w, h, px = multimodal.decode_blob(_make_bmp(BMP_ROWS, top_down=td))
+        assert (fmt, w, h) == ("bmp", 2, 2)
+        assert px.tolist() == BMP_FLAT
+    # unsupported BMP variants fail loudly as corrupt-claimed-format
+    # (decode error), not as "no codec registered"
+    bad = bytearray(_make_bmp(BMP_ROWS))
+    bad[28] = 32  # bpp=32
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        multimodal.decode_blob(bytes(bad))
+
+
+def test_real_wav_decodes_through_registry():
+    ch0, ch1 = [100, -200, 300], [1, 2, 3]
+    sr, n, mono = multimodal.decode_audio_blob(_make_wav(ch0, ch1, sr=8000))
+    assert (sr, n) == (8000, 3)
+    assert mono.tolist() == ch0  # channel 0 = the mono contract
+    # mono container round-trips too
+    sr2, n2, mono2 = multimodal.decode_audio_blob(_make_wav([7, -7], sr=44100))
+    assert (sr2, n2, mono2.tolist()) == (44100, 2, [7, -7])
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        # 8-bit PCM: claimed by sniff, rejected by decode
+        blob = bytearray(_make_wav(ch0))
+        blob[34] = 8  # bits-per-sample field inside fmt chunk
+        multimodal.decode_audio_blob(bytes(blob))
+
+
+def test_real_format_blobs_through_spark_operators(spark):
+    """Mixed fake-codec + REAL-format rows through the mapInPandas
+    operators: the FKIM/FKAU bulk stays on the vectorized path while
+    BMP/WAV rows decode via the registry — same output contract."""
+    import pandas as pd
+
+    bmp = _make_bmp(BMP_ROWS)
+    fkim = synth.encode_image(
+        np.array([12345], dtype=np.uint64), 2, 2, np.array([0], dtype=np.int64)
+    )[0]
+    images = spark.createDataFrame(
+        pd.DataFrame({"image_id": ["real_bmp", "fk"], "bytes": [bmp, fkim]})
+    )
+    stats = {r.image_id: r for r in multimodal.decode_stats(images).collect()}
+    assert (stats["real_bmp"].fmt, stats["real_bmp"].w, stats["real_bmp"].h) == ("bmp", 2, 2)
+    assert stats["real_bmp"].pixel_sum == sum(BMP_FLAT)
+    assert stats["real_bmp"].pixel_min == 0 and stats["real_bmp"].pixel_max == 255
+    assert stats["fk"].fmt == "fraw"  # fake path untouched
+
+    emb = {r.image_id: np.array(r.embedding) for r in multimodal.feature_embed(images).collect()}
+    M = multimodal._embed_matrix()
+    px = np.array(BMP_FLAT, dtype=np.float64)
+    want = (px @ M[np.arange(len(px)) % multimodal.EMBED_FOLD]) / multimodal.EMBED_SCALE
+    assert np.array_equal(emb["real_bmp"], want)
+
+    wav = _make_wav([100, -200, 300], [1, 2, 3], sr=8000)
+    fkau = synth.encode_audio(np.array([7], dtype=np.uint64), 16, 16000)[0]
+    audio = spark.createDataFrame(
+        pd.DataFrame({"audio_id": ["real_wav", "fk"], "bytes": [wav, fkau]})
+    )
+    astats = {r.audio_id: r for r in multimodal.audio_stats(audio).collect()}
+    r = astats["real_wav"]
+    assert (r.sample_rate, r.n_samples) == (8000, 3)
+    assert r.energy == 100 * 100 + 200 * 200 + 300 * 300
+    assert r.peak == 300 and r.zero_crossings == 2
+    assert astats["fk"].sample_rate == 16000  # fake path untouched
+
+
+def test_user_codec_overrides_builtin():
+    """Round-4 review finding: registered codecs must be reachable even
+    when a built-in would claim the blob — user codecs walk first."""
+    bmp = _make_bmp(BMP_ROWS)
+
+    def sniff(blob):
+        return bytes(blob[:2]) == b"BM"
+
+    def decode(blob):
+        return "user", 1, 1, np.array([9, 9, 9], dtype=np.uint8)
+
+    multimodal.register_image_codec(sniff, decode)
+    try:
+        fmt, w, h, px = multimodal.decode_blob(bmp)
+        assert (fmt, w, h) == ("user", 1, 1) and px.tolist() == [9, 9, 9]
+    finally:
+        multimodal._IMAGE_CODECS.clear()
+    assert multimodal.decode_blob(bmp)[0] == "bmp"  # builtin back in charge
+
+
 def test_audio_rejects_unknown_codec():
     with pytest.raises(NotImplementedError, match="register_audio_codec"):
         multimodal.decode_audio_blob(b"RIFF" + b"\x00" * 20)
