@@ -334,17 +334,21 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("min_lat") + F.col("max_lat")) / F.lit(2.0)).alias("q_lat"),
         ((F.col("min_lon") + F.col("max_lon")) / F.lit(2.0)).alias("q_lon"),
     )
-    # (res=3, rings=3): 37 cells/query (vs 61 at round-2's res=2/
-    # rings=4) with a 73.5 km equator guarantee — measured best
-    # exact config across densities (sf0.1: ~4.1s vs 5.8s; sf0.01:
-    # ~2.5s; res≥5 or rings<2 shrink the guarantee enough that the
-    # exact fallback dominates at sparse density). Results identical
-    # across configs by the safe-join certificate.
+    # (res=2, rings=4): 61 cells/query with a ~290 km equator
+    # guarantee. Round-5 re-measurement: the r3 "res=3/rings=3 is
+    # faster" result was an artifact — its 73.5 km guarantee was BELOW
+    # the sf0.1 5th-neighbor distances (27-107 km), so NO query
+    # certified and the exact-fallback subplan ran for all 40 queries
+    # every time; res=2/rings=4 (+ the √cos-tightened certificate)
+    # certifies 38-40/40, so the fallback runs for at most the two
+    # near-pole queries (where the lon-branch bound provably collapses)
+    # and the ring answer is returned as-is. Results identical across
+    # configs by the safe-join certificate.
     # single-row-group parquet scans as ONE task regardless of
     # maxPartitionBytes — repartition the 24-byte/row points relation
     # so the ring join runs at full parallelism (VERDICT r3 item 2)
     out = knn_ops.knn_join_safe(
-        queries, points, k=5, res=3, rings=3,
+        queries, points, k=5, res=2, rings=4,
         min_parallelism=spark.sparkContext.defaultParallelism,
     )
     return out.select(

@@ -165,6 +165,37 @@ def grid_disk(cell: Column, k: int) -> Column:
     )
 
 
+def polar_cap_cells(res: int, lat0_deg: float, north: bool) -> list[int]:
+    """Every cell id that can contain a point with lat ≥ lat0 (north)
+    or lat ≤ −lat0 (south) — the polar-cap join keys for kNN's
+    high-latitude coverage (operators/knn.py). Driver-side enumeration
+    (a few hundred to a few thousand longs at practical res): rows r
+    whose latitude span can intersect the cap, full longitude range,
+    ±1 cell margin absorbing cube rounding. Guaranteed SUPERSET of
+    { hex_cell(p) : |p.lat| ≥ lat0, hemisphere matches } — overcount
+    is harmless (extra keys match no points / add candidates), and the
+    superset property is what the kNN certificate's latitude bound
+    rests on; property-tested against hex_cell_np."""
+    s = size_deg(res)
+    r_edge = (2.0 / 3.0) * lat0_deg / s
+    r_pole = (2.0 / 3.0) * 90.0 / s
+    if north:
+        r_lo, r_hi = math.floor(r_edge) - 1, math.ceil(r_pole) + 1
+    else:
+        r_lo, r_hi = -math.ceil(r_pole) - 1, -math.floor(r_edge) + 1
+    cells = []
+    for r in range(r_lo, r_hi + 1):
+        # a cell at row r only contains points with fractional row
+        # within ±1 (cube rounding) → lat within 1.5·s·(r±1)
+        lat_lo_row = max(-90.0, 1.5 * s * (r - 1))
+        lat_hi_row = min(90.0, 1.5 * s * (r + 1))
+        q_min = (_SQRT3_3 * -180.0 - lat_hi_row / 3.0) / s
+        q_max = (_SQRT3_3 * 180.0 - lat_lo_row / 3.0) / s
+        for q in range(math.floor(q_min) - 1, math.ceil(q_max) + 2):
+            cells.append(res * _RES_SHIFT + (q + _Q_OFF) * _Q_SHIFT + (r + _Q_OFF))
+    return cells
+
+
 def cell_to_parent(cell: Column, child_res: int, parent_res: int) -> Column:
     """Re-encode a cell at a coarser resolution via its center point."""
     lat, lon = cell_center(cell, child_res)

@@ -65,6 +65,18 @@ def knn_join_exact(
     return _topk(pairs, q_id, p_id, k)
 
 
+# queries at |lat| ≥ this threshold join against the full polar-cap
+# cell set instead of their ring disk: the disk's km guarantee
+# provably collapses toward the poles (cos(|lat|+g) → 0), so without
+# cap coverage every high-latitude query pays the exact fallback at
+# ANY density. With it, the certificate becomes a pure latitude bound
+# (no cos factor) and polar queries certify like everyone else.
+# Scale note: a polar query's candidates = all same-hemisphere points
+# above lat0 = polar_lat − g; dense-pole workloads should raise the
+# threshold (or res) rather than scan a fat cap.
+POLAR_LAT_DEG = 80.0
+
+
 def knn_join_rings(
     queries: DataFrame,
     points: DataFrame,
@@ -80,12 +92,17 @@ def knn_join_rings(
     p_lon: str = "lon",
     broadcast_queries: bool | None = None,
     min_parallelism: int | None = None,
+    polar_lat: float = POLAR_LAT_DEG,
 ) -> DataFrame:
     """Ring-accelerated kNN: candidates restricted to the query's
-    ``rings``-disk of hex cells at ``res``. Exact when the k-th
-    neighbor is within the guaranteed radius (see module docstring);
-    verified against ``knn_join_exact`` in tests at the densities the
-    engine is benchmarked at.
+    ``rings``-disk of hex cells at ``res`` — except queries poleward of
+    ``polar_lat``, which explode over the precomputed polar-cap cell
+    list (hexgrid.polar_cap_cells, an array LITERAL: same equi-join,
+    no extra join branch) so their candidate set is every
+    same-hemisphere point above lat0 = polar_lat − g. Exact when the
+    k-th neighbor is within the per-query guaranteed radius (see
+    ``ring_guarantee_km``); verified against ``knn_join_exact`` in
+    tests at the densities the engine is benchmarked at.
 
     ``min_parallelism``: when set, round-robin repartition the slim
     (id, lat, lon) points relation to at least this many partitions
@@ -98,11 +115,34 @@ def knn_join_rings(
     so leave unset."""
     if min_parallelism:
         points = points.repartition(min_parallelism)
-    q = queries.withColumn(
-        "_qcell", hexgrid.hex_cell(geo.clamp_lat(F.col(q_lat)), F.col(q_lon), res)
-    ).withColumn("hex_cell", F.explode(hexgrid.grid_disk(F.col("_qcell"), rings))).drop(
-        "_qcell"
+    g = ring_disk_radius_deg(res, rings) / math.sqrt(2.0)
+    lat0 = polar_lat - g
+    is_polar = F.abs(F.col(q_lat)) >= F.lit(polar_lat)
+    # non-polar queries explode their ring disk; polar queries pick up
+    # the cap cells via a tiny cross-shaped join on the (already small)
+    # BUILD side — both land in the SAME hex_cell equi-join, so the big
+    # probe side is scanned once. (A first cut inlined the cap as two
+    # ~1.3k-element array LITERALS in a CASE — measured +0.5-1.0s per
+    # run: huge literal arrays are poison for codegen.)
+    q_normal = (
+        queries.filter(~is_polar)
+        .withColumn("_qcell", hexgrid.hex_cell(geo.clamp_lat(F.col(q_lat)), F.col(q_lon), res))
+        .withColumn("hex_cell", F.explode(hexgrid.grid_disk(F.col("_qcell"), rings)))
+        .drop("_qcell")
     )
+    spark = queries.sparkSession
+    cap = spark.createDataFrame(
+        [(c, True) for c in hexgrid.polar_cap_cells(res, lat0, True)]
+        + [(c, False) for c in hexgrid.polar_cap_cells(res, lat0, False)],
+        "hex_cell long, _north boolean",
+    )
+    q_polar = (
+        queries.filter(is_polar)
+        .join(F.broadcast(cap), (F.col(q_lat) >= 0) == F.col("_north"), "inner")
+        .drop("_north")
+        .select(*q_normal.columns)
+    )
+    q = q_normal.unionByName(q_polar)
     p = points.withColumn(
         "hex_cell", hexgrid.hex_cell(geo.clamp_lat(F.col(p_lat)), F.col(p_lon), res)
     )
@@ -147,76 +187,83 @@ def knn_join_safe(
     broadcast cross join. Output identical to ``knn_join_exact`` by
     construction.
 
-    Single-pass plan: the ring join + top-k window materializes ONCE
-    (``localCheckpoint`` — the output is ≤ |Q|·k slim rows) and the
-    certificate is computed with windows over the SAME q_id
-    partitioning (no extra shuffle); the three consumers (certified
-    rows, failed ids, zero-candidate anti-join) all read the
-    checkpointed blocks instead of re-running the join."""
+    Lean two-job plan (round-5 rework; the old one derived the
+    certificate and fallback bands as FOUR extra Spark subplans —
+    window recompute + countDistinct agg + anti-join + lineage-derived
+    band groupBy — whose codegen dominated first-invocation latency,
+    and at benched densities the fallback ran for EVERY query): the
+    ring join + top-k window materializes ONCE (``localCheckpoint`` —
+    ≤ |Q|·k slim rows, guarantee riding as one extra column), the
+    checkpointed rows are COLLECTED and the certificate is decided
+    driver-side in plain Python — no further Spark job. The query side
+    is broadcast-small by contract (the ring join already ships it to
+    every executor), so collecting ≤|Q|·k slim rows is the same order
+    of driver traffic as that broadcast. If every query certifies, the
+    checkpointed ring result IS the answer — zero further plans.
+    Otherwise the uncertified rows (id, coords, band) are re-emitted
+    as a literal DataFrame and ONE broadcast band join against the
+    checkpointed points repairs exactly those queries."""
     if min_parallelism:
-        # repartition AND materialize the slim points once: the ring
-        # join and the exact fallback both consume points, and without
-        # this each re-runs the (possibly single-task, see
-        # knn_join_rings) scan + shuffle. Measured 4.6s → 2.7s at
-        # sf0.1/local[32]. Only with min_parallelism set — it is the
-        # small-input escape hatch; at real scale points don't fit in
-        # block-manager memory and input splits already parallelize,
-        # so leave unset and the plan stays fully streaming.
+        # repartition AND materialize the slim points once (the
+        # single-row-group escape hatch, see knn_join_rings). Keeping
+        # this as its own eager job is MEASURED faster than an inline
+        # repartition in the ring plan (r4: 3.4s vs 5.4s warm;
+        # re-confirmed r5: 3.0s vs 4.5s) — the checkpoint's dedicated
+        # materialization buys fully parallel downstream stages. At
+        # real scale leave min_parallelism unset: input splits already
+        # parallelize and the plan stays fully streaming.
         points = points.repartition(min_parallelism).localCheckpoint()
-    ringed = knn_join_rings(
-        queries, points, k, res=res, rings=rings,
-        q_id=q_id, q_lat=q_lat, q_lon=q_lon, p_id=p_id, p_lat=p_lat, p_lon=p_lon,
-        broadcast_queries=True,
-    ).localCheckpoint()
+    # guarantee rides the ring plan as one extra column (constant per
+    # query) so certification needs NO further Spark job: the per-query
+    # stats fold in plain Python over the collected checkpoint rows.
     guarantee = ring_guarantee_km(F.col(q_lat), F.col(q_lon), res, rings)
-    wq = Window.partitionBy(q_id)
-    certed = (
-        ringed.withColumn("_nk", F.count("*").over(wq))
-        .withColumn("_dk", F.max("dist_km").over(wq))
-        .withColumn("_cert", (F.col("_nk") >= k) & (F.col("_dk") <= guarantee))
+    ringed_g = (
+        knn_join_rings(
+            queries, points, k, res=res, rings=rings,
+            q_id=q_id, q_lat=q_lat, q_lon=q_lon, p_id=p_id, p_lat=p_lat, p_lon=p_lon,
+            broadcast_queries=True,
+        )
+        .withColumn("_g", guarantee)
+        .localCheckpoint()
     )
-    safe_part = certed.filter(F.col("_cert")).drop("_nk", "_dk", "_cert")
-    # Short-circuit: at production density every query certifies and
-    # the whole fallback subplan (anti-join, two broadcasts, a points
-    # band join) would execute only to produce zero rows. Two scalar
-    # aggregates decide that — both over slim relations (certed reads
-    # the ≤|Q|·k checkpointed ring rows; the query count is one pass
-    # over the slim query relation) — so skipping the dead subplan
-    # costs O(|Q|) and saves its stages + codegen. Same output by
-    # construction: no uncertified and no zero-candidate queries ⇒
-    # safe_part IS the exact answer.
-    stats = certed.agg(
-        F.countDistinct(q_id).alias("nq"),
-        F.countDistinct(F.when(~F.col("_cert"), F.col(q_id))).alias("nu"),
-    ).collect()[0]
-    if stats.nu == 0 and stats.nq == queries.select(q_id).distinct().count():
-        return safe_part
+    per_q: dict = {}
+    for r in ringed_g.select(q_id, "dist_km", "_g").collect():
+        st = per_q.setdefault(r[0], {"_nk": 0, "_dk": 0.0, "_g": r[2]})
+        st["_nk"] += 1
+        st["_dk"] = max(st["_dk"], r[1])
+    ringed = ringed_g.drop("_g")
     # uncertified queries carry their ring k-th distance as a BAND: the
     # ring candidates are a subset of all points, so the global k-th
     # distance is ≤ _dk — every global top-k point satisfies
     # |Δlat| ≤ _dk/111.19 (meridian arc lower-bounds haversine), and
     # the exact fallback only scores points inside that band. Queries
-    # with < k ring candidates get no band (full scan — correct, rare).
-    unsafe_bands = (
-        certed.filter(~F.col("_cert"))
-        .groupBy(q_id)
-        .agg(
-            F.max(F.when(F.col("_nk") >= k, F.col("_dk") / F.lit(_KM_PER_DEG_LAT))).alias(
-                "_band_deg"
-            )
-        )
-    )
-    # queries with ZERO candidates never appear in ringed — anti join
-    no_cand = (
-        queries.join(ringed.select(q_id).distinct(), q_id, "left_anti")
-        .select(q_id)
-        .withColumn("_band_deg", F.lit(None).cast("double"))
-    )
-    unsafe = unsafe_bands.unionByName(no_cand)
+    # with < k ring candidates get no band (full scan — correct, rare);
+    # queries with ZERO candidates never appear in ringed at all.
+    unsafe: list[tuple] = []
+    for row in queries.select(q_id, q_lat, q_lon).collect():
+        st = per_q.get(row[0])
+        if st is None:
+            unsafe.append((row[0], row[1], row[2], None))
+        elif not (st["_nk"] >= k and st["_dk"] <= st["_g"]):
+            band = st["_dk"] / _KM_PER_DEG_LAT if st["_nk"] >= k else None
+            unsafe.append((row[0], row[1], row[2], band))
+    if not unsafe:
+        return ringed  # every query certified: the ring result is exact
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
-    unsafe_queries = queries.join(F.broadcast(unsafe), q_id, "inner")
+    unsafe_df = queries.sparkSession.createDataFrame(
+        unsafe,
+        StructType(
+            [
+                StructField(q_id, queries.schema[q_id].dataType, True),
+                StructField(q_lat, DoubleType(), True),
+                StructField(q_lon, DoubleType(), True),
+                StructField("_band_deg", DoubleType(), True),
+            ]
+        ),
+    )
     pairs = points.join(
-        F.broadcast(unsafe_queries),
+        F.broadcast(unsafe_df),
         F.col("_band_deg").isNull()
         | (F.abs(F.col(p_lat) - F.col(q_lat)) <= F.col("_band_deg")),
         "inner",
@@ -225,6 +272,7 @@ def knn_join_safe(
         geo.haversine_km(F.col(q_lat), F.col(q_lon), F.col(p_lat), F.col(p_lon)),
     )
     exact_part = _topk(pairs, q_id, p_id, k).drop("_band_deg")
+    safe_part = ringed.filter(~F.col(q_id).isin([u[0] for u in unsafe]))
     return safe_part.unionByName(exact_part.select(*safe_part.columns))
 
 
@@ -241,29 +289,48 @@ def ring_disk_radius_deg(res: int, rings: int) -> float:
     return max(0, rings - 1) * (3**0.5 / 2) * hexgrid.size_deg(res)
 
 
-def ring_guarantee_km(q_lat: Column, q_lon: Column, res: int, rings: int) -> Column:
+def ring_guarantee_km(
+    q_lat: Column, q_lon: Column, res: int, rings: int, polar_lat: float = POLAR_LAT_DEG
+) -> Column:
     """Per-query certificate radius: every point whose haversine
     distance to (q_lat, q_lon) is ≤ this many km provably lies inside
     the query's rings-disk. Derivation (G = disk radius in Euclidean
     degrees, g = G/√2): a point OUTSIDE the disk has degree-distance
     > G, hence |Δlat| > g or |Δlon| > g. If |Δlat| > g its haversine
     distance exceeds 111.19·g km (meridian arc). Else |Δlat| ≤ g pins
-    the point's latitude to |q_lat| + g, and haversine ≥
-    2R·√(cos φ_q·cos φ_p)·sin(Δλ/2) > 2R·cos_min·sin(g/2) with
-    cos_min = cos(min(90°, |q_lat| + g)). The guarantee is the min of
-    the two branch bounds — any point within it must be inside the
-    disk. Near the poles cos_min → 0 and within G degrees of the
-    antimeridian the no-wraparound grid loses coverage, so the
-    guarantee is 0 there: those queries always take the exact path."""
+    the point's latitude to |q_lat| + g, and haversine =
+    2R·asin(√(sin²(Δφ/2) + cos φ_q·cos φ_p·sin²(Δλ/2))) ≥
+    2R·√(cos φ_q·cos_min)·sin(g/2) with cos_min = cos(|q_lat| + g)
+    (asin x ≥ x; cos φ_p ≥ cos_min on the branch). The √(cos φ_q·
+    cos_min) factor — rather than the looser plain cos_min — is ~2×
+    stronger near the poles, where it decides whether high-latitude
+    queries certify at all. The guarantee is the min of the two branch
+    bounds — any point within it must be inside the disk.
+
+    POLAR regime (|q_lat| ≥ polar_lat): the disk bound is useless
+    there (cos_min → 0), but these queries join against the full
+    polar-cap cell set (knn_join_rings), a proven superset of every
+    cell holding a point with |φ| ≥ lat0 = polar_lat − g. A
+    non-candidate point therefore has |φ| < lat0, i.e. Δφ >
+    |q_lat| − lat0, and its haversine distance exceeds
+    111.19·(|q_lat| − lat0) km — a pure meridian bound with no cos
+    collapse and no antimeridian exclusion (the cap spans all
+    longitudes), so polar queries certify like mid-latitude ones."""
     G = ring_disk_radius_deg(res, rings)
     g = G / math.sqrt(2.0)
+    lat0 = polar_lat - g
     cos_min = F.cos(F.radians(F.abs(q_lat) + F.lit(g)))
     lat_branch = F.lit(_KM_PER_DEG_LAT * g)
-    lon_branch = F.lit(2.0 * _R_KM * math.sin(math.radians(g) / 2.0)) * cos_min
+    lon_branch = F.lit(2.0 * _R_KM * math.sin(math.radians(g) / 2.0)) * F.sqrt(
+        F.cos(F.radians(q_lat)) * cos_min
+    )
     # |q_lat| + g must stay strictly below 90°: past it the candidate's
     # cos φ is no longer bounded below by cos_min (pole degeneracy)
     ok = (F.abs(q_lon) <= F.lit(180.0 - G)) & (F.abs(q_lat) + F.lit(g) < F.lit(90.0))
-    return F.when(ok, F.least(lat_branch, lon_branch)).otherwise(F.lit(0.0))
+    return F.when(
+        F.abs(q_lat) >= F.lit(polar_lat),
+        F.lit(_KM_PER_DEG_LAT) * (F.abs(q_lat) - F.lit(lat0)),
+    ).otherwise(F.when(ok, F.least(lat_branch, lon_branch)).otherwise(F.lit(0.0)))
 
 
 def min_ring_guarantee_km(res: int, rings: int) -> float:
@@ -273,5 +340,5 @@ def min_ring_guarantee_km(res: int, rings: int) -> float:
     g = G / math.sqrt(2.0)
     return min(
         _KM_PER_DEG_LAT * g,
-        2.0 * _R_KM * math.sin(math.radians(g) / 2.0) * math.cos(math.radians(g)),
+        2.0 * _R_KM * math.sin(math.radians(g) / 2.0) * math.sqrt(math.cos(math.radians(g))),
     )

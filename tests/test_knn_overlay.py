@@ -58,14 +58,16 @@ def test_ring_knn_equals_exact(spark):
 
 def test_guarantee_shrinks_with_latitude_and_near_antimeridian(spark):
     """The per-query certificate must scale with cos(lat) — the flat
-    111 km/deg conversion over-certified above ~65° — and vanish near
-    the poles / antimeridian where the degree-space disk under-covers."""
+    111 km/deg conversion over-certified above ~65° — vanish near the
+    antimeridian where the degree-space disk under-covers, and switch
+    to the (large, cos-free) polar-cap latitude bound poleward of
+    POLAR_LAT_DEG, growing with |lat| there."""
     qs = spark.createDataFrame(
         pd.DataFrame(
             {
-                "query_id": [0, 1, 2, 3, 4],
-                "q_lat": [0.0, 60.0, 85.0, 89.5, 0.0],
-                "q_lon": [0.0, 0.0, 0.0, 0.0, 179.5],
+                "query_id": [0, 1, 2, 3, 4, 5],
+                "q_lat": [0.0, 60.0, 79.0, 85.0, 89.5, 0.0],
+                "q_lon": [0.0, 0.0, 0.0, 0.0, 0.0, 179.5],
             }
         )
     )
@@ -75,8 +77,33 @@ def test_guarantee_shrinks_with_latitude_and_near_antimeridian(spark):
     got = {r.query_id: r.g for r in g.collect()}
     assert got[0] > got[1] > got[2] > 0
     assert got[1] < got[0] * 0.6  # cos(60°+g) scaling bites
-    assert got[3] == 0.0  # near-pole: never certified
-    assert got[4] == 0.0  # near-antimeridian: never certified
+    # polar regime: cap coverage makes the bound a pure meridian arc —
+    # LARGER than the collapsing disk bound, growing toward the pole
+    assert got[3] > got[2] and got[4] > got[3]
+    g_deg = K.ring_disk_radius_deg(2, 4) / (2 ** 0.5)
+    assert abs(got[3] - 111.19 * (85.0 - (K.POLAR_LAT_DEG - g_deg))) < 1e-9
+    assert got[5] == 0.0  # near-antimeridian (non-polar): never certified
+
+
+def test_polar_cap_cells_superset_property():
+    """polar_cap_cells must contain EVERY cell that any point of its
+    hemisphere cap can hash to — the superset invariant the kNN polar
+    certificate rests on. 200k random cap points per hemisphere."""
+    from changesetmd_spark.functions import hexgrid as HG
+
+    rng = np.random.default_rng(42)
+    lat0 = 77.0
+    for north in (True, False):
+        cap = set(HG.polar_cap_cells(2, lat0, north))
+        lat = rng.uniform(lat0, 90.0, 200_000)
+        if not north:
+            lat = -lat
+        lon = rng.uniform(-180.0, 180.0, 200_000)
+        cells = HG.hex_cell_np(lat, lon, 2)
+        missing = set(np.unique(cells)) - cap
+        assert not missing, f"cap misses {len(missing)} cells (north={north})"
+        # and it is not absurdly fat: a few thousand cells at res 2
+        assert len(cap) < 3000
 
 
 def test_safe_knn_exact_at_extreme_latitudes(spark):
