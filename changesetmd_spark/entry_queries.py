@@ -409,8 +409,12 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (band buckets → hamming refine)."""
-    return dedup_ops.simhash_pairs(plan_strategy.widen_if_narrow(load(spark, sf_dir, "documents")))
+    """SimHash near-dup pairs (band buckets → hamming refine).
+    NOT widened: interleaved A/B at sf0.1 (r5, tools note in
+    BENCH/BASELINE.md) — the 64-vote aggregate is shuffle-bound, so
+    the widening repartition costs more than the parallel scan buys
+    (2.85s narrow vs 3.05s widened)."""
+    return dedup_ops.simhash_pairs(load(spark, sf_dir, "documents"))
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -451,8 +455,10 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID + quality features + rolling fingerprint per doc."""
-    docs = plan_strategy.widen_if_narrow(load(spark, sf_dir, "documents"))
+    """Language ID + quality features + rolling fingerprint per doc.
+    NOT widened: pure narrow projection — repartition only adds a
+    shuffle (0.30s narrow vs 0.41s widened, r5 A/B)."""
+    docs = load(spark, sf_dir, "documents")
     feats = text_ops.quality_features(F.col("text"))
     return docs.select(
         "doc_id",
@@ -474,8 +480,15 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep min id) → emit kept docs with fingerprint + token count. The
     oracle chains the identical stages in one SQL statement, so the
     COMPOSITION (filter before dedup, dedup before feature emit) is
-    what the gate verifies."""
-    docs = plan_strategy.widen_if_narrow(load(spark, sf_dir, "documents"))
+    what the gate verifies.
+
+    NOT widened (r5 re-measurement closing the r4 +20% regression):
+    the pipeline is one narrow filter + one md5 groupBy — the widening
+    repartition nearly doubled it (0.84s narrow vs 1.51s widened,
+    interleaved A/B at sf0.1). Widening stays ONLY where the scan
+    feeds heavy reused per-row compute (ngram/minhash inverted
+    indexes: 2.1s widened vs 3.3s narrow)."""
+    docs = load(spark, sf_dir, "documents")
     feats = text_ops.quality_features(F.col("text"))
     enriched = docs.select(
         "doc_id",
