@@ -168,6 +168,12 @@ def main() -> None:
         timings = {"spatial_pipeline": round(headline_sec, 3)}
 
     queries = EQ.QUERIES
+    # LSH families with candidate-count telemetry (VERDICT r4 item 5):
+    # the bench wires a CandidateTelemetry through the module hook so
+    # every banded-LSH gate's candidate-pair count — the n²/2^bits
+    # term that decides 10⁹-row feasibility — lands in the bench JSON.
+    TELEMETERED = {"phash_neardup", "minhash_lsh", "simhash", "embed_neardup"}
+    candidates: dict[str, int] = {}
     if not headline_only:
         # query-subset mode (per-query scaling ladder): no headline
         # warmup ran, so the first pass is dominated by JVM/codegen
@@ -182,6 +188,22 @@ def main() -> None:
                 n = df.count()
                 dt = round(time.time() - t0, 3)
                 timings[name] = min(timings.get(name, dt), dt)
+        # candidate counts come from a SEPARATE untimed pass: the
+        # CollectMetrics node sits on the (pre-refine) candidate
+        # relation, where it breaks the codegen span and measurably
+        # costs ~1s on the widest family — so the timed numbers above
+        # stay comparable across rounds, and the counts below are
+        # exact for the same inputs
+        from changesetmd_spark.telemetry import CandidateTelemetry
+
+        for name in sorted(TELEMETERED & set(bench_queries)):
+            tel = EQ.ACTIVE_TELEMETRY = CandidateTelemetry()
+            try:
+                queries[name](spark, sf_dir).count()
+            finally:
+                EQ.ACTIVE_TELEMETRY = None
+            for fam, cnt in tel.counts().items():
+                candidates[name if fam in name else f"{name}:{fam}"] = cnt
 
     result = {
         "metric": "spatial_join_tile_assign_pipeline",
@@ -193,6 +215,10 @@ def main() -> None:
         "n_images": n_img,
         "matched_boxes": n_rows,
         "cpus": int(cpus),
+        # candidate-pair counts observed inside the LSH gates (exact,
+        # via DataFrame.observe — no extra jobs); the scale-governing
+        # number for every banded-LSH family
+        "lsh_candidates": candidates,
     }
     print(json.dumps(result))
     spark.stop()

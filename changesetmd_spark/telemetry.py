@@ -10,7 +10,11 @@ hand.
 How (Spark-first): ``DataFrame.observe`` attaches an exact count to
 the candidate relation that is collected DURING the action that
 consumes the pairs — zero extra jobs, no second evaluation of the
-join, works identically on a 1000-executor cluster. ``flush`` appends
+join, works identically on a 1000-executor cluster. It is not
+entirely free, though: the CollectMetrics node is a codegen-span
+boundary, measured ~+1s on the widest candidate relation (simhash at
+bench scale) — so latency-sensitive callers (bench.py) time the
+un-observed plan and collect counts in a separate pass. ``flush`` appends
 the collected numbers to a SnapStore metrics sidecar
 (``SnapStore.log_metric``), queryable via ``custom_metrics()``
 alongside the per-snapshot lineage the store already keeps.
