@@ -650,6 +650,7 @@ def dedup_clusters(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 50,
+    method: str = "propagation",
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into duplicate CLUSTERS: every id
     is labeled with the minimum id of its connected component in the
@@ -665,13 +666,24 @@ def dedup_clusters(
     practice, with a loud failure at ``max_iter`` rather than a silent
     partial clustering. At 10⁹+ vertices the same loop holds (labels
     are one slim (id, comp) relation; swap localCheckpoint for a table
-    write between rounds); pathological long-chain graphs would want
-    the O(log n) large-star/small-star variant — not needed for
-    similarity graphs, which have bounded diameter by construction.
+    write between rounds).
+
+    ``method="bigstar"`` switches to the two-phase large-star /
+    small-star algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): O(log n) rounds regardless of component
+    DIAMETER, so pathological chain graphs — where propagation needs
+    O(n) rounds and raises at ``max_iter`` — converge in a dozen
+    rounds (property-tested on a 10k-node path). Similarity graphs
+    have bounded diameter by construction, so propagation (fewer,
+    cheaper rounds, no edge-set rewrite) stays the default.
 
     Returns (id_col, cluster_id): total over ``ids`` — singletons
     cluster to themselves.
     """
+    if method == "bigstar":
+        return _dedup_clusters_bigstar(ids, pairs, id_col, a_col, b_col, max_iter)
+    if method != "propagation":
+        raise ValueError(f"unknown method {method!r} (propagation | bigstar)")
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -695,6 +707,82 @@ def dedup_clusters(
         if changed == 0:
             return labels.select(F.col("id").alias(id_col), F.col("comp").alias("cluster_id"))
     raise RuntimeError(f"dedup_clusters did not converge in {max_iter} rounds")
+
+
+def _dedup_clusters_bigstar(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    a_col: str,
+    b_col: str,
+    max_iter: int,
+) -> DataFrame:
+    """Two-phase large-star/small-star connected components.
+
+    Each round rewrites the EDGE SET (not labels):
+    - large-star: every node u links its strictly-larger neighbors to
+      m = min(u ∪ N(u)) — hooks tall branches straight onto minima;
+    - small-star: every node u links its not-larger neighbors AND
+      itself to m = min over those — flattens what large-star built.
+    Components halve in height per round ⇒ O(log n) rounds; at the
+    fixpoint the edges are stars (x → component-min), so the final
+    label is one groupBy-min + one left join against ``ids``.
+    Both phases are a groupBy + an equi-join over the slim (u, v) edge
+    relation — the same shuffle shape as one propagation round, just
+    with edge rewriting, which is why propagation wins on bounded-
+    diameter similarity graphs and this wins on chains."""
+    E = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _large(edges: DataFrame) -> DataFrame:
+        nb = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = nb.groupBy("u").agg(F.min("v").alias("_mn"))
+        m = F.least(F.col("u"), F.col("_mn"))
+        return (
+            nb.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small(edges: DataFrame) -> DataFrame:
+        down = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = down.groupBy("u").agg(F.min("v").alias("_mn"))
+        linked = down.join(mins, "u")
+        return (
+            linked.select(F.col("v").alias("u"), F.col("_mn").alias("v"))
+            .unionByName(mins.select("u", F.col("_mn").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        new_E = _small(_large(E)).localCheckpoint()
+        changed = (
+            new_E.exceptAll(E).count() + E.exceptAll(new_E).count()
+        )
+        E = new_E
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"dedup_clusters(bigstar) did not converge in {max_iter} rounds")
+    # fixpoint edges are stars: x → its component min
+    star = E.groupBy("u").agg(F.min("v").alias("comp"))
+    return (
+        ids.select(F.col(id_col).alias("id"))
+        .join(star.withColumnRenamed("u", "id"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("comp"), F.col("id")).alias("cluster_id"),
+        )
+    )
 
 
 def DEDUP_CLUSTERS_SQL(
