@@ -6,9 +6,11 @@ at multiple parallelism levels on the same input (fresh JVM per level,
 Spark cannot change master in-process): a local[1..32] core ladder.
 
 Usage:
-  python tools/run_scaling.py              # run ladder + write report
-  python tools/run_scaling.py --report     # rewrite report from saved json
-  python tools/run_scaling.py --queries    # per-query 8-vs-32-core legs
+  python tools/run_scaling.py                  # run ladder + write report
+  python tools/run_scaling.py --report         # rewrite report from saved json
+  python tools/run_scaling.py --queries        # per-query 8-vs-32-core legs
+  python tools/run_scaling.py --queries-scaled # same legs, 10x probe input
+                                               # (compute-bound; VERDICT r4 item 7)
 
 Min-merge policy: re-runs keep the BEST (min-wall-time) sample per
 leg — but ONLY among samples from the same code version (git SHA,
@@ -209,12 +211,54 @@ def _load(path: str, required: bool = False) -> dict:
     return {}
 
 
-def run_query_ladder(sf_dir: str, sha: str, n: int = 2) -> dict:
+SCALE_FACTOR = 10
+
+
+def ensure_scaled_inputs(sf_dir: str, factor: int = SCALE_FACTOR) -> str:
+    """Materialize a PROBE-side-scaled twin of ``sf_dir`` for the
+    compute-bound query ladder (VERDICT r4 item 7): orders is unioned
+    ``factor`` times with key-shifted o_orderkey (stride > max key, so
+    the derived geo points are ``factor``× denser and all distinct);
+    customer is copied as-is so the broadcast/build side — constant at
+    any cluster scale — stays constant here too. Deterministic, cached
+    under .bench_cache."""
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    out = os.path.join(REPO, ".bench_cache", f"scaled{factor}x_{tag}")
+    done = all(
+        os.path.exists(os.path.join(out, t, "_SUCCESS")) for t in ("orders.parquet", "customer.parquet")
+    )
+    if done:
+        return out
+    sys.path.insert(0, REPO)
+    from pyspark.sql import functions as F
+
+    from changesetmd_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_inputs", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    stride = 10_000_000  # > any sf<=1 orderkey; shifted copies never collide
+    copies = [
+        orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * stride))
+        for i in range(factor)
+    ]
+    scaled = copies[0]
+    for c in copies[1:]:
+        scaled = scaled.unionByName(c)
+    scaled.repartition(32).write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
+    spark.read.parquet(f"{sf_dir}/customer.parquet").write.mode("overwrite").parquet(
+        os.path.join(out, "customer.parquet")
+    )
+    spark.stop()
+    return out
+
+
+def run_query_ladder(sf_dir: str, sha: str, n: int = 2, qpath: str | None = None) -> dict:
     """Per-query 8-vs-32-core legs for the most expensive gated
     queries. Each leg: fresh JVM running all three queries in one
     session (driver-bench-like warmth); min over ``n`` process
     invocations, same-SHA min-merged with stored samples."""
-    qpath = os.path.join(REPO, "BENCH", "scaling_queries.json")
+    qpath = qpath or os.path.join(REPO, "BENCH", "scaling_queries.json")
     stored = _load(qpath)
     qlist = ",".join(QUERY_LADDER_QUERIES)
     for cpus in QUERY_LADDER_CORES:
@@ -231,13 +275,21 @@ def run_query_ladder(sf_dir: str, sha: str, n: int = 2) -> dict:
     return stored
 
 
+def _ladder_table(stored: dict) -> str:
+    a, b = QUERY_LADDER_CORES
+    qa, qb = stored[str(a)]["queries"], stored[str(b)]["queries"]
+    md = f"| query | t({a} cores) s | t({b} cores) s | speedup | efficiency |\n|---|---|---|---|---|\n"
+    for q in QUERY_LADDER_QUERIES:
+        sp = qa[q] / qb[q] if qb.get(q) else float("nan")
+        md += f"| {q} | {qa[q]} | {qb[q]} | {sp:.2f}x | {sp / (b // a):.2f} |\n"
+    return md
+
+
 def query_ladder_md() -> str:
-    qpath = os.path.join(REPO, "BENCH", "scaling_queries.json")
-    stored = _load(qpath)
+    stored = _load(os.path.join(REPO, "BENCH", "scaling_queries.json"))
     if not all(str(c) in stored for c in QUERY_LADDER_CORES):
         return ""
     a, b = QUERY_LADDER_CORES
-    qa, qb = stored[str(a)]["queries"], stored[str(b)]["queries"]
     md = f"""
 ## Per-query scaling ({a} vs {b} cores, top-3 most expensive gated queries)
 
@@ -245,12 +297,8 @@ Same input, fresh JVM per leg, min-of-N per leg (same-SHA samples
 only). Efficiency = (t{a}/t{b})/{b // a} — the single-host analog of the
 north_rule's N->4N throughput criterion applied per operator.
 
-| query | t({a} cores) s | t({b} cores) s | speedup | efficiency |
-|---|---|---|---|---|
 """
-    for q in QUERY_LADDER_QUERIES:
-        sp = qa[q] / qb[q] if qb.get(q) else float("nan")
-        md += f"| {q} | {qa[q]} | {qb[q]} | {sp:.2f}x | {sp / (b // a):.2f} |\n"
+    md += _ladder_table(stored)
     md += """
 Reading: each leg is a fresh JVM running the three queries twice,
 min per query (the second pass removes codegen/JIT warmup, which
@@ -265,6 +313,25 @@ COMMITS by design (each delta write is a barrier; the log append
 itself is ~1 ms, measured by tools/merge_profile.py) — the
 Iceberg-catalog analog on a real cluster.
 """
+    scaled = _load(os.path.join(REPO, "BENCH", "scaling_queries_scaled.json"))
+    if all(str(c) in scaled for c in QUERY_LADDER_CORES):
+        md += f"""
+## Per-query scaling at {SCALE_FACTOR}x probe input (compute-bound legs)
+
+Same three queries over a probe side scaled {SCALE_FACTOR}x
+(tools/run_scaling.py::ensure_scaled_inputs — orders unioned with
+key-shifted copies so the derived geo points are {SCALE_FACTOR}x
+denser; the broadcast/build side stays at bench size, as it would on
+a real cluster). At this size per-stage compute dominates scheduling,
+so these legs measure OPERATOR scaling rather than fixed overhead —
+the escape from the sub-second-stage floor the table above documents.
+
+"""
+        md += _ladder_table(scaled)
+        md += """
+(The same single-socket DRAM-saturation ceiling as the headline
+ladder applies at 32 cores; see Analysis above.)
+"""
     return md
 
 
@@ -277,6 +344,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--queries" in sys.argv:
         run_query_ladder(sf_dir, sha)
+        write_report(_load(json_path, required=True))
+        return
+    if "--queries-scaled" in sys.argv:
+        scaled_dir = ensure_scaled_inputs(sf_dir)
+        run_query_ladder(
+            scaled_dir, sha,
+            qpath=os.path.join(REPO, "BENCH", "scaling_queries_scaled.json"),
+        )
         write_report(_load(json_path, required=True))
         return
     stored = _load(json_path)
