@@ -137,7 +137,11 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_QUERIES")
     bench_queries = [q for q in only.split(",") if q] if only else BENCH_QUERIES
     skip_headline = bool(only)
-    sf = sf_dir.rstrip("/").split("/")[-1].replace("sf", "")
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    try:
+        sf = float(tag.replace("sf", ""))
+    except ValueError:
+        sf = 0.0  # non-sf input dir (e.g. the scaled-ladder twin)
     spark = get_spark(
         app_name="bench",
         master=f"local[{cpus}]",
@@ -210,7 +214,7 @@ def main() -> None:
         "value": round(headline_sec, 3),
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf),
+        "sf": sf,
         "images_per_sec": round(n_img / headline_sec, 1) if headline_sec else 0.0,
         "n_images": n_img,
         "matched_boxes": n_rows,

@@ -49,26 +49,26 @@ def run(tag, fn, n=3):
 points, queries = mk_inputs()
 
 # v0: no repartition (r3 shipped behavior)
-run("v0_plain     ", lambda: knn_ops.knn_join_safe(queries, points, k=5, res=3, rings=3).count())
+run("v0_plain     ", lambda: knn_ops.knn_join_safe(queries, points, k=5, res=2, rings=4).count())
 
 # v1: repartition inside safe (current tree)
 run("v1_repart    ", lambda: knn_ops.knn_join_safe(
-    queries, points, k=5, res=3, rings=3, min_parallelism=32).count())
+    queries, points, k=5, res=2, rings=4, min_parallelism=32).count())
 
 
 # v2: repartition + localCheckpoint points once
 def v2():
     p = points.repartition(32).localCheckpoint()
-    knn_ops.knn_join_safe(queries, p, k=5, res=3, rings=3).count()
+    knn_ops.knn_join_safe(queries, p, k=5, res=2, rings=4).count()
 
 
 run("v2_ckpt      ", v2)
 
 # v3: rings only (no safe wrapper) — isolate certificate/fallback cost
 run("v3_rings_only", lambda: knn_ops.knn_join_rings(
-    queries, points, k=5, res=3, rings=3, broadcast_queries=True).count())
+    queries, points, k=5, res=2, rings=4, broadcast_queries=True).count())
 run("v4_rings_rep ", lambda: knn_ops.knn_join_rings(
-    queries, points, k=5, res=3, rings=3, broadcast_queries=True,
+    queries, points, k=5, res=2, rings=4, broadcast_queries=True,
     min_parallelism=32).count())
 
 
@@ -76,7 +76,7 @@ run("v4_rings_rep ", lambda: knn_ops.knn_join_rings(
 def v5():
     t0 = time.time()
     ringed = knn_ops.knn_join_rings(
-        queries, points, k=5, res=3, rings=3, broadcast_queries=True
+        queries, points, k=5, res=2, rings=4, broadcast_queries=True
     ).localCheckpoint()
     t1 = time.time()
     n = ringed.count()

@@ -42,13 +42,13 @@ t0 = time.time()
 p = points.repartition(32).localCheckpoint()
 t1 = time.time()
 ringed = knn_ops.knn_join_rings(
-    queries, p, k=5, res=3, rings=3, broadcast_queries=True
+    queries, p, k=5, res=2, rings=4, broadcast_queries=True
 ).localCheckpoint()
 t2 = time.time()
 # remainder: certificate + fallback + final count (mimic knn_join_safe
 # by calling it on the checkpointed points — ring join re-runs but
 # reads cached p)
-out = knn_ops.knn_join_safe(queries, p, k=5, res=3, rings=3)
+out = knn_ops.knn_join_safe(queries, p, k=5, res=2, rings=4)
 n = out.select(
     "query_id", "point_id",
     F.col("knn_rank").cast("long").alias("knn_rank"),

@@ -329,8 +329,19 @@ the escape from the sub-second-stage floor the table above documents.
 """
         md += _ladder_table(scaled)
         md += """
-(The same single-socket DRAM-saturation ceiling as the headline
-ladder applies at 32 cores; see Analysis above.)
+Reading: knn and spatial — the two operators whose scaled legs are
+compute-dominated — now show the scaling the overhead-bound table
+above could not (vs 0.20-0.24 there), converging toward the headline
+ladder's 8->32 step under the same single-socket DRAM ceiling (see
+Analysis above). merge_upsert INVERTS at 32 cores on the 10x input —
+reproducibly (min-of-4 fresh-JVM legs) — because at this size it is
+parquet-WRITE-bound: all 32 write tasks encode+flush 4 snapshot
+deltas to the same local filesystem simultaneously, contending on
+page cache and memory bandwidth that 8 writers share more gracefully.
+On a real cluster each executor writes to its own disks, so write
+scaling follows executor count; the single-host inversion is reported
+rather than hidden because it is exactly the class of bottleneck the
+shared-filesystem analog exposes.
 """
     return md
 
