@@ -30,6 +30,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    warmup: bool = True,
 ) -> SparkSession:
     """Build (or fetch) the engine SparkSession.
 
@@ -69,7 +70,11 @@ def get_spark(
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
-    _warm_codegen(spark)
+    # warmup=False for sessions that never run the analytical DAGs
+    # (e.g. the ingest/replication CLI): the ~5 s one-time warm only
+    # pays back where broadcast-join/window/NLJ plans will run
+    if warmup:
+        _warm_codegen(spark)
     return spark
 
 
