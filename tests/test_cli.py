@@ -171,3 +171,53 @@ def test6_replicate_http_base_accepted(cli, tmp_path, spark, monkeypatch):
     store = SnapStore(spark, str(root / "changesets"), key="id")
     assert store.read_state()["last_sequence"] == 1
     assert store.read().count() == 2
+
+
+def test_spark_submit_py_files_e2e(tmp_path):
+    """north_rule packaging: the engine must actually run via
+    `spark-submit --py-files engine.zip main.py ...` — zip the package,
+    copy ONLY main.py into a clean cwd (the repo is NOT importable from
+    there), and run a gated query end-to-end in a fresh spark-submit
+    driver. Proves the zip is self-contained and main.py resolves the
+    engine exclusively through --py-files, exactly as on a cluster."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+    import zipfile
+
+    import pyspark
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    workdir = tmp_path / "submit"
+    workdir.mkdir()
+    zpath = workdir / "engine.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(repo, "changesetmd_spark")
+        for dirpath, _dirnames, filenames in os.walk(pkg):
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, repo))
+    shutil.copy(os.path.join(repo, "main.py"), workdir / "main.py")
+
+    spark_submit = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    out = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[2]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", str(zpath),
+            "main.py", "query", "count_filter",
+            "--sf-dir", "/root/testdata/sf0.001",
+        ],
+        cwd=workdir, env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, f"spark-submit failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+    # count_filter's shown table: the two l_linestatus groups
+    compact = out.stdout.replace(" ", "")
+    assert "l_linestatus" in out.stdout
+    assert "|O|" in compact and "|F|" in compact
