@@ -85,6 +85,43 @@ def test_guarantee_shrinks_with_latitude_and_near_antimeridian(spark):
     assert got[5] == 0.0  # near-antimeridian (non-polar): never certified
 
 
+def test_safe_knn_exact_straddling_polar_threshold(spark):
+    """Queries just below and just above POLAR_LAT_DEG (the coverage
+    regime switch) with points clustered around the threshold — both
+    regimes must return the exact global kNN, including neighbors on
+    the other side of the threshold from the query."""
+    rng = np.random.default_rng(55)
+    n = 2000
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "point_id": np.arange(n),
+                "lat": rng.uniform(70.0, 90.0, n),
+                "lon": rng.uniform(-180.0, 180.0, n),
+            }
+        )
+    )
+    qs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": np.arange(8),
+                "q_lat": [79.2, 79.8, 79.95, 80.0, 80.05, 80.8, 83.0, 88.0],
+                "q_lon": [10.0, -170.0, 60.0, -60.0, 120.0, 179.0, 0.0, -90.0],
+            }
+        )
+    )
+    exact = {
+        (r.query_id, r.point_id, r.knn_rank)
+        for r in K.knn_join_exact(qs, pts, 5).select("query_id", "point_id", "knn_rank").collect()
+    }
+    safe = {
+        (r.query_id, r.point_id, r.knn_rank)
+        for r in K.knn_join_safe(qs, pts, 5, res=2, rings=4)
+        .select("query_id", "point_id", "knn_rank").collect()
+    }
+    assert safe == exact
+
+
 def test_polar_cap_cells_superset_property():
     """polar_cap_cells must contain EVERY cell that any point of its
     hemisphere cap can hash to — the superset invariant the kNN polar
@@ -92,18 +129,18 @@ def test_polar_cap_cells_superset_property():
     from changesetmd_spark.functions import hexgrid as HG
 
     rng = np.random.default_rng(42)
-    lat0 = 77.0
-    for north in (True, False):
-        cap = set(HG.polar_cap_cells(2, lat0, north))
-        lat = rng.uniform(lat0, 90.0, 200_000)
-        if not north:
-            lat = -lat
-        lon = rng.uniform(-180.0, 180.0, 200_000)
-        cells = HG.hex_cell_np(lat, lon, 2)
-        missing = set(np.unique(cells)) - cap
-        assert not missing, f"cap misses {len(missing)} cells (north={north})"
-        # and it is not absurdly fat: a few thousand cells at res 2
-        assert len(cap) < 3000
+    for res, lat0 in ((2, 77.0), (3, 78.4), (1, 72.5)):
+        for north in (True, False):
+            cap = set(HG.polar_cap_cells(res, lat0, north))
+            lat = rng.uniform(lat0, 90.0, 200_000)
+            if not north:
+                lat = -lat
+            lon = rng.uniform(-180.0, 180.0, 200_000)
+            cells = HG.hex_cell_np(lat, lon, res)
+            missing = set(np.unique(cells)) - cap
+            assert not missing, f"cap misses {len(missing)} cells (res={res}, north={north})"
+            # and it is not absurdly fat for the res (rows × lon cells)
+            assert len(cap) < 3000 * (7 ** max(0, res - 2))
 
 
 def test_safe_knn_exact_at_extreme_latitudes(spark):

@@ -239,6 +239,14 @@ def test_real_wav_decodes_through_registry():
     sr, n, mono = multimodal.decode_audio_blob(_make_wav(ch0, ch1, sr=8000))
     assert (sr, n) == (8000, 3)
     assert mono.tolist() == ch0  # channel 0 = the mono contract
+    # RIFF chunk walk must skip unknown + ODD-SIZED chunks (word
+    # alignment pad) that precede fmt/data
+    blob = _make_wav(ch0, ch1, sr=8000)
+    junk = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"  # padded odd chunk
+    patched = blob[:12] + junk + blob[12:]
+    patched = patched[:4] + (len(patched) - 8).to_bytes(4, "little") + patched[8:]
+    sr2, n2, mono2 = multimodal.decode_audio_blob(patched)
+    assert (sr2, n2, mono2.tolist()) == (8000, 3, ch0)
     # mono container round-trips too
     sr2, n2, mono2 = multimodal.decode_audio_blob(_make_wav([7, -7], sr=44100))
     assert (sr2, n2, mono2.tolist()) == (44100, 2, [7, -7])
