@@ -333,8 +333,18 @@ class SnapStore:
         ):
             self.compact(auto=True)
 
-    def create(self, df: DataFrame, **meta) -> int:
+    def create(
+        self, df: DataFrame, zorder_by: tuple[str, str] | None = None, **meta
+    ) -> int:
+        """``zorder_by=(lat_col, lon_col)`` lays the initial snapshot
+        out in Morton order (plans/zorder.py) so bbox scans prune files
+        by parquet min/max stats — the lake analog of the reference's
+        GiST index, applied at write time."""
         assert not self.snapshots(), "table already exists"
+        if zorder_by is not None:
+            from ..plans.zorder import cluster_by_z
+
+            df = cluster_by_z(df, *zorder_by)
         return self._write_delta(df.withColumn("_deleted", F.lit(False)), OP_APPEND, meta)
 
     def append(self, df: DataFrame, **meta) -> int:
