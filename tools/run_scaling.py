@@ -113,6 +113,16 @@ git SHA they were measured at and only min-merged within the same
 SHA: a code change resets the leg, so a stale faster sample from an
 older build can never shadow the current build's number.
 
+Host-noise context (round 5, measured): this shared sandbox's
+throughput oscillates by >2x on minute timescales with no in-container
+process visible (same code, same session, back-to-back runs of one
+small plan measured 0.24 s to 19 s at the worst spike; full-bench
+headline 12.4-14.0 s across an hour). Min-of-N per leg is therefore
+not a nicety but the only defensible estimator here, and any
+single-run comparison across rounds inside a ~25% band is noise.
+Interleaved A/B inside one session (alternating variants per
+iteration) is the method used for every keep/drop perf decision.
+
 Headline job (bench.py::spatial_pipeline): parquet scan of the
 synthesized image+caption table ({n:,} rows incl. binary payloads;
 payload column pruned at the scan by Catalyst) -> phash geotag ->
