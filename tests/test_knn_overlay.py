@@ -122,6 +122,58 @@ def test_safe_knn_exact_straddling_polar_threshold(spark):
     assert safe == exact
 
 
+def test_safe_knn_exact_across_ring_configs(spark):
+    """knn_join_safe must equal the brute-force answer for EVERY
+    (res, rings) config — coarse and fine grids alike — on a mixed
+    distribution (uniform + polar crowd + antimeridian band). The
+    certificate/fallback split differs wildly across configs; the
+    output must not."""
+    rng = np.random.default_rng(91)
+    n = 2500
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "point_id": np.arange(n),
+                "lat": np.concatenate(
+                    [
+                        rng.uniform(-80, 80, n - 800),
+                        rng.uniform(78, 90, 400),          # polar crowd
+                        rng.uniform(-60, 60, 400),         # antimeridian band
+                    ]
+                ),
+                "lon": np.concatenate(
+                    [
+                        rng.uniform(-175, 175, n - 800),
+                        rng.uniform(-180, 180, 400),
+                        np.where(rng.uniform(0, 1, 400) < 0.5, 1, -1)
+                        * rng.uniform(176, 180, 400),
+                    ]
+                ),
+            }
+        )
+    )
+    qs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": np.arange(10),
+                "q_lat": [0.0, 45.0, -45.0, 70.0, 82.0, -86.0, 10.0, -30.0, 60.0, 88.5],
+                "q_lon": [0.0, 100.0, -100.0, 179.0, -178.0, 30.0, -179.5, 179.8, -90.0, 0.0],
+            }
+        )
+    )
+    exact = {
+        (r.query_id, r.point_id, r.knn_rank)
+        for r in K.knn_join_exact(qs, pts, 4).select("query_id", "point_id", "knn_rank").collect()
+    }
+    for res, rings in ((1, 2), (2, 4), (3, 3)):
+        safe = {
+            (r.query_id, r.point_id, r.knn_rank)
+            for r in K.knn_join_safe(qs, pts, 4, res=res, rings=rings)
+            .select("query_id", "point_id", "knn_rank").collect()
+        }
+        assert safe == exact, f"config res={res} rings={rings} diverged"
+
+
 def test_polar_cap_cells_superset_property():
     """polar_cap_cells must contain EVERY cell that any point of its
     hemisphere cap can hash to — the superset invariant the kNN polar
