@@ -102,6 +102,17 @@ def test_zorder_layout_prunes_bbox_scans(spark, tmp_path):
     assert a.count() == b.count() == n
     assert a.exceptAll(b).count() == 0
 
+    # Spark-side e2e: under the pushed bbox predicate, rows come from
+    # few clustered files (row-group stats skip the rest) but from
+    # every naive file
+    pred = (
+        (F.col("lat") >= box[0]) & (F.col("lat") <= box[1])
+        & (F.col("lon") >= box[2]) & (F.col("lon") <= box[3])
+    )
+    n_files_naive = a.filter(pred).select(F.input_file_name()).distinct().count()
+    n_files_clus = b.filter(pred).select(F.input_file_name()).distinct().count()
+    assert n_files_naive >= 15 and n_files_clus <= 4
+
 
 def test_snapstore_create_zorder_by(spark, tmp_path):
     """SnapStore.create(zorder_by=...) lays the initial snapshot out in
