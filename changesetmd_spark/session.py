@@ -126,13 +126,14 @@ def _warm_codegen(spark: SparkSession) -> None:
         _knn.knn_join_safe(qs, pts, k=2, res=2, rings=4, min_parallelism=2).count()
     except Exception:
         pass  # warmup must never block a session
-    # second warm: a 40-doc miniature of the banded-LSH dedup DAG.
-    # The 64-vote SimHash aggregate is the registry's biggest codegen
-    # unit after kNN (measured: first real invocation 6.1s unwarmed vs
-    # 3.4s after this mini run, steady state unchanged). The tiny docs
-    # are written to parquet first so the leaf stage matches the real
-    # gate's scan-backed pipeline and its generated classes cache-hit.
+    # second warm: 40-doc miniatures of the heavy dedup DAGs over ONE
+    # tiny parquet table (scan-backed leaf, so the real gates' stage
+    # classes cache-hit). Measured first-invocation savings at bench
+    # scale, steady state unchanged: simhash 6.1s → 3.4s (the 64-vote
+    # aggregate is the biggest codegen unit after kNN), minhash 4.5 →
+    # 3.1, ngram 3.0 → 2.6; the minis themselves cost ~4s once.
     try:
+        import shutil as _shutil
         import uuid as _uuid
 
         from .operators import dedup as _dedup
@@ -144,9 +145,10 @@ def _warm_codegen(spark: SparkSession) -> None:
                 F.lit("tok"), F.col("id"), F.lit(" alpha beta gamma "), F.col("id") % 5
             ).alias("text"),
         ).repartition(2).write.mode("overwrite").parquet(tp)
-        _dedup.simhash_pairs(spark.read.parquet(tp)).count()
-        import shutil as _shutil
-
+        docs = spark.read.parquet(tp)
+        _dedup.simhash_pairs(docs).count()
+        _dedup.minhash_lsh_pairs(docs).count()
+        _dedup.ngram_jaccard_pairs(docs).count()
         _shutil.rmtree(tp, ignore_errors=True)
     except Exception:
         pass
