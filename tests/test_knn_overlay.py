@@ -174,6 +174,36 @@ def test_safe_knn_exact_across_ring_configs(spark):
         assert safe == exact, f"config res={res} rings={rings} diverged"
 
 
+def test_safe_knn_k_exceeds_ring_candidates(spark):
+    """k larger than any query's ring-candidate count: no query can
+    certify (nk < k), the band-less full fallback runs, and the answer
+    still equals brute force — including k > |points| (everyone gets
+    all points, ranked)."""
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "point_id": np.arange(6),
+                "lat": [0.0, 10.0, -20.0, 45.0, -60.0, 70.0],
+                "lon": [0.0, 50.0, -90.0, 120.0, -150.0, 30.0],
+            }
+        )
+    )
+    qs = spark.createDataFrame(
+        pd.DataFrame({"query_id": [0, 1], "q_lat": [5.0, -55.0], "q_lon": [5.0, -140.0]})
+    )
+    for k in (4, 10):  # 10 > |points|
+        exact = {
+            (r.query_id, r.point_id, r.knn_rank)
+            for r in K.knn_join_exact(qs, pts, k).select("query_id", "point_id", "knn_rank").collect()
+        }
+        safe = {
+            (r.query_id, r.point_id, r.knn_rank)
+            for r in K.knn_join_safe(qs, pts, k, res=2, rings=2)
+            .select("query_id", "point_id", "knn_rank").collect()
+        }
+        assert safe == exact and len(safe) == 2 * min(k, 6)
+
+
 def test_polar_cap_cells_superset_property():
     """polar_cap_cells must contain EVERY cell that any point of its
     hemisphere cap can hash to — the superset invariant the kNN polar
