@@ -139,7 +139,12 @@ def q_spatial_contains_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         points_from_orders(load(spark, sf_dir, "orders"))
     )
     boxes = boxes_from_customer(load(spark, sf_dir, "customer"))
-    pairs = sj.contains_join(points, boxes, res=3, broadcast_boxes=True)
+    # compact_build (r6): broadcast only (hex_cell, box_id) pairs and
+    # refine via a second broadcast join on the raw box table — the
+    # same plan the headline pipeline ships; ~3× smaller build relation
+    pairs = sj.contains_join(
+        points, boxes, res=3, broadcast_boxes=True, compact_build=True
+    )
     return pairs.groupBy("box_id").agg(F.count("*").alias("n_points"))
 
 
@@ -149,9 +154,9 @@ def q_spatial_contains_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         points_from_orders(load(spark, sf_dir, "orders"))
     )
     boxes = boxes_from_customer(load(spark, sf_dir, "customer"))
-    return sj.contains_join(points, boxes, res=3, broadcast_boxes=True).select(
-        "point_id", "box_id"
-    )
+    return sj.contains_join(
+        points, boxes, res=3, broadcast_boxes=True, compact_build=True
+    ).select("point_id", "box_id")
 
 
 def q_spatial_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1241,7 +1246,8 @@ def q_polygon_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     polys = polygons_from_customer(load(spark, sf_dir, "customer"))
     pairs = pj.polygon_contains_join(
-        points, polys, n_vertices=6, res=3, broadcast_polygons=True
+        points, polys, n_vertices=6, res=3, broadcast_polygons=True,
+        compact_build=True,
     )
     return pairs.groupBy("poly_id").agg(F.count("*").alias("n_points"))
 

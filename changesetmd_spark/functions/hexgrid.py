@@ -97,10 +97,20 @@ def pack_cell(res: int, q: Column, r: Column) -> Column:
 
 
 def hex_cell(lat: Column, lon: Column, res: int) -> Column:
-    """Hex cell id of a point — the engine's ``latlng_to_cell``."""
+    """Hex cell id of a point — the engine's ``latlng_to_cell``.
+
+    The result is wrapped in ``coalesce(..., 0)`` to mark it
+    NON-NULLABLE (it never is null for non-null inputs): when the cell
+    id is a join key, Catalyst otherwise infers an ``isnotnull(<full
+    cell expression>)`` filter and pushes it below the join — into the
+    scan stage — where the entire cube-round expression is evaluated a
+    SECOND time per row just to check a condition that is always true
+    (r6 plan audit: the flagship gate's scan-side Filter inlined the
+    packed-cell expression ~20×). With a non-nullable key no null
+    filter is generated at all; the value is unchanged."""
     q, r = _axial_frac(lat, lon, res)
     qi, ri = _cube_round(q, r)
-    return pack_cell(res, qi, ri)
+    return F.coalesce(pack_cell(res, qi, ri), F.lit(0).cast("long"))
 
 
 def hex_cell_cover(
@@ -116,9 +126,17 @@ def hex_cell_cover(
 
     Correctness invariant (what the coarse→refine join needs):
     cover(box) ⊇ { hex_cell(p) : p ∈ box }. q is monotone ↑lon ↓lat and
-    r is monotone ↑lat, so fractional extremes sit at box corners; ±1
-    cell of margin absorbs cube rounding. The cover is the full axial
-    rectangle — a superset, pruned by the exact refine predicate.
+    r is monotone ↑lat, so fractional extremes sit at box corners.
+    Cube rounding moves a point's integer cell coordinate at most 1
+    away from its fractional coordinate (q_out is either round(q) —
+    off by ≤ 0.5 — or −ry−rr, off by |y−ry|+|r−rr| ≤ 1), so the cell
+    of a contained point lies in [q_min−1, q_max+1] and the tight
+    integer cover is [ceil(q_min−1), floor(q_max+1)] — one cell
+    NARROWER per side than the r5 bounds floor(q_min)−1 / ceil(q_max)+1
+    (r6 optimization: ~20-25% fewer cover rows through every broadcast
+    build and candidate join; superset property re-proved above and
+    pinned by the brute-force property tests). The cover is the full
+    axial rectangle — a superset, pruned by the exact refine predicate.
     """
     s = size_deg(res)
     lat_lo = F.greatest(F.lit(-90.0), F.least(F.lit(90.0), min_lat))
@@ -127,10 +145,10 @@ def hex_cell_cover(
     q_max = (F.lit(_SQRT3_3) * max_lon - lat_lo / F.lit(3.0)) / F.lit(s)
     r_min = (F.lit(2.0 / 3.0) * lat_lo) / F.lit(s)
     r_max = (F.lit(2.0 / 3.0) * lat_hi) / F.lit(s)
-    q_lo = F.floor(q_min).cast("long") - F.lit(1)
-    q_hi = F.ceil(q_max).cast("long") + F.lit(1)
-    r_lo = F.floor(r_min).cast("long") - F.lit(1)
-    r_hi = F.ceil(r_max).cast("long") + F.lit(1)
+    q_lo = F.ceil(q_min - F.lit(1.0)).cast("long")
+    q_hi = F.floor(q_max + F.lit(1.0)).cast("long")
+    r_lo = F.ceil(r_min - F.lit(1.0)).cast("long")
+    r_hi = F.floor(r_max + F.lit(1.0)).cast("long")
     base = F.lit(res).cast("long") * F.lit(_RES_SHIFT)
     return F.flatten(
         F.transform(

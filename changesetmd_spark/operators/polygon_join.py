@@ -82,10 +82,19 @@ def polygon_contains_join(
     lat: str = "lat",
     lon: str = "lon",
     broadcast_polygons: bool | None = None,
+    compact_build: bool = False,
 ) -> DataFrame:
     """Inner join of points with every convex polygon containing them.
     ``polygons`` needs (poly_id, xs, ys); same two-phase shape as the
-    flagship envelope join, refine swapped for the half-plane test."""
+    flagship envelope join, refine swapped for the half-plane test.
+
+    ``compact_build`` (broadcast path only, r6): broadcast just the
+    (hex_cell, poly_id) cover pairs — the vertex ARRAYS stay out of
+    the exploded build relation — and refine via a second broadcast
+    join on the raw polygon table (requires unique poly_id, which the
+    one-row-per-polygon encoding guarantees). Same result set: a point
+    meets a polygon's cover in at most one cell, so the (point,
+    poly_id) candidate set is identical to the direct join's."""
     pts = points.withColumn(
         "hex_cell", hexgrid.hex_cell(geo.clamp_lat(F.col(lat)), F.col(lon), res)
     )
@@ -94,6 +103,16 @@ def polygon_contains_join(
         "hex_cell",
         F.explode(hexgrid.hex_cell_cover(b_min_lat, b_max_lat, b_min_lon, b_max_lon, res)),
     )
+    if compact_build:
+        if "poly_id" not in polygons.columns:
+            raise ValueError("compact_build requires a poly_id key column")
+        cand = pts.join(F.broadcast(cov.select("poly_id", "hex_cell")), "hex_cell")
+        refined = cand.join(F.broadcast(polygons), "poly_id").filter(
+            point_in_convex_polygon(
+                F.col(lon), F.col(lat), F.col("xs"), F.col("ys"), n_vertices
+            )
+        )
+        return refined.drop("hex_cell")
     cov = strategy.maybe_broadcast(cov, hint=broadcast_polygons)
     refine = point_in_convex_polygon(
         pts[lon], pts[lat], cov["xs"], cov["ys"], n_vertices

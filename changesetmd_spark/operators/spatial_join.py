@@ -152,7 +152,10 @@ def contains_join(
     cache behavior on wide-core machines — and refine via a second
     broadcast join on the raw (unexploded) box table. Same result set
     (verified against the brute-force oracle); measured ~15-20% faster
-    at 32 cores on the bench workload.
+    at 32 cores on the bench workload. REQUIRES unique box_id rows:
+    with duplicate ids (e.g. antimeridian split halves) the re-join on
+    box_id would cross-match a candidate with every same-id row and
+    duplicate pairs — those callers use the direct path.
     """
     if normalize:
         boxes = normalize_boxes(boxes)
