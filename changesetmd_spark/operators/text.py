@@ -51,8 +51,16 @@ def TOKEN_COUNT_SQL(text: str) -> str:
 
 
 def token_hash(tok: Column) -> Column:
-    """32-bit token hash from the md5 hex prefix — engine-portable."""
-    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+    """32-bit token hash from the md5 hex prefix — engine-portable.
+    coalesce marks the hash NON-NULLABLE (it never is for the non-null
+    tokens every caller feeds it): as an equi-join key — the shingle
+    inverted-index self-joins — a nullable hash makes Catalyst push an
+    isnotnull(<md5 expression>) filter into the scan stage, computing
+    the md5 an extra time per shingle (r6 plan audit)."""
+    return F.coalesce(
+        F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long"),
+        F.lit(0).cast("long"),
+    )
 
 
 def TOKEN_HASH_SQL(tok: str) -> str:
@@ -62,8 +70,12 @@ def TOKEN_HASH_SQL(tok: str) -> str:
 def token_hash_hi(tok: Column) -> Column:
     """Second independent 32-bit token hash (md5 hex chars 9-16) —
     paired with token_hash to give 64 independent bits per token for
-    the 64-bit SimHash family."""
-    return F.conv(F.substring(F.md5(tok), 9, 8), 16, 10).cast("long")
+    the 64-bit SimHash family. Non-nullable for the same join-key
+    reason as token_hash."""
+    return F.coalesce(
+        F.conv(F.substring(F.md5(tok), 9, 8), 16, 10).cast("long"),
+        F.lit(0).cast("long"),
+    )
 
 
 def TOKEN_HASH_HI_SQL(tok: str) -> str:
