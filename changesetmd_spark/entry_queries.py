@@ -640,11 +640,15 @@ def _orders_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
-    base = orders.select(
+    # widen (r6): the single-row-group orders scan is ONE task, which
+    # serialized the whole Arrow encode→decode chain on one core; one
+    # cheap shuffle of the slim (id, phash, fmt) rows buys full-width
+    # Python stages (guide §2 — same fix the spatial gates use)
+    base = plan_strategy.widen_if_narrow(orders.select(
         F.format_string("img%012d", k).alias("image_id"),
         orders_phash(k).alias("phash"),
         F.when(F.pmod(k, 2) == 0, "fraw").otherwise("fjpg").alias("fmt"),
-    )
+    ))
 
     enc_schema = StructType(
         [
@@ -706,10 +710,12 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
-    base = orders.select(
+    # widen (r6): see _orders_images — one-task scan would serialize
+    # the three-stage Arrow chain (encode → frame sample → decode)
+    base = plan_strategy.widen_if_narrow(orders.select(
         F.format_string("img%012d", k).alias("image_id"),
         orders_phash(k).alias("phash"),
-    )
+    ))
     enc_schema = StructType(
         [
             StructField("image_id", StringType(), False),
@@ -810,10 +816,12 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
-    base = orders.select(
+    # widen (r6): see _orders_images — one-task scan would serialize
+    # the PCM encode + audio_stats Arrow stages on one core
+    base = plan_strategy.widen_if_narrow(orders.select(
         F.format_string("au%012d", k).alias("audio_id"),
         orders_phash(k).alias("phash"),
-    )
+    ))
     enc_schema = StructType(
         [
             StructField("audio_id", StringType(), False),

@@ -90,12 +90,23 @@ def _st_to_ij(s: np.ndarray) -> np.ndarray:
     )
 
 
-def _faceij_to_pos(face: np.ndarray, i: np.ndarray, j: np.ndarray) -> np.ndarray:
-    """Hilbert-curve position of leaf (i, j) on ``face`` — 60 bits,
-    computed in 30 vectorized table-lookup steps."""
+def _faceij_to_pos(
+    face: np.ndarray, i: np.ndarray, j: np.ndarray, n_steps: int = MAX_LEVEL
+) -> np.ndarray:
+    """Hilbert-curve position of (i, j) on ``face`` to ``n_steps``
+    levels of depth — 2·n_steps bits, one vectorized table-lookup step
+    per level, walked from the top bit down.
+
+    ``n_steps < 30`` is the r6 fast path for parent cells: a cell id
+    truncated to level L keeps exactly the top 2L position bits (the
+    bits below the sentinel are cleared), and each Hilbert step k
+    consumes only bit k of (i, j) and the orientation evolved from the
+    steps above it — so the truncated bits never need computing at
+    all. Level-12 encode: 12 steps instead of 30, bit-identical ids
+    (pinned by the equivalence test against the full walk)."""
     orient = (face & 1).astype(np.int64)  # kSwapMask bit of the face
     pos = np.zeros(face.shape, dtype=np.uint64)
-    for k in range(MAX_LEVEL - 1, -1, -1):
+    for k in range(MAX_LEVEL - 1, MAX_LEVEL - 1 - n_steps, -1):
         ij = 2 * ((i >> k) & 1) + ((j >> k) & 1)
         p = _IJ_TO_POS[orient, ij]
         pos = (pos << np.uint64(2)) | p.astype(np.uint64)
@@ -120,13 +131,16 @@ def s2_cell_np(
     face, u, v = _xyz_to_face_uv(x, y, z)
     i = _st_to_ij(_uv_to_st(u))
     j = _st_to_ij(_uv_to_st(v))
-    pos = _faceij_to_pos(face, i, j)
-    leaf = (
+    # walk only `level` Hilbert steps and assemble the parent directly:
+    # identical to building the leaf and truncating (_parent_at_level),
+    # because truncation keeps exactly the top 2·level position bits
+    pos = _faceij_to_pos(face, i, j, n_steps=level)
+    shift = 2 * (MAX_LEVEL - level)
+    return (
         (face.astype(np.uint64) << np.uint64(61))
-        | (pos << np.uint64(1))
-        | np.uint64(1)
-    )
-    return _parent_at_level(leaf, level).view(np.int64)
+        | (pos << np.uint64(shift + 1))
+        | (np.uint64(1) << np.uint64(shift))
+    ).view(np.int64)
 
 
 def s2_cell_to_latlng_np(cell_id: np.ndarray, level: int):

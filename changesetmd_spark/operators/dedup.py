@@ -215,36 +215,50 @@ def NGRAM_JACCARD_SQL(
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
 
-def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, perm, minhash): explode shingle hashes × permutations and
-    take per-(id, perm) minima. Permutation j: (a_j·h + b_j) mod P.
-    a_j·h ≤ 33·2^32 ≈ 1.4e11 — ANSI-safe."""
+def minhash_bands(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, band, band_sig) in ONE aggregation pass (r6 rework).
+
+    Permutation j of a shingle hash h: (a_j·h + b_j) mod P with
+    a_j·h ≤ 33·2^32 ≈ 1.4e11 — ANSI-safe. The r5 shape exploded every
+    (id, sh) row × N_PERM permutations and aggregated twice (per-perm
+    minima, then per-band polynomial folds) — 16× the shuffle rows and
+    two exchanges. Here each shingle row computes all N_PERM
+    permutation values as columns, ONE map-side-combined groupBy(id)
+    takes the N_PERM minima, and the band signatures fold as plain
+    column arithmetic (sig_b = Σ_w min_{4b+w}·31^w mod P, exactly the
+    order-fixed polynomial the oracle replicates; min < P ≈ 4.3e9
+    × 31³ < 2^63 — ANSI-safe). Values bit-identical to the r5 shape
+    (same minima, same fold), pinned by the unchanged oracle gate."""
     sh = _exploded_shingle_hashes(docs, id_col, text_col)
-    perms = F.explode(F.sequence(F.lit(0), F.lit(N_PERM - 1))).alias("perm")
-    ab = sh.select("id", "sh", perms)
-    mh = F.pmod(
-        (F.col("perm") * 2 + 1) * F.col("sh") + (F.col("perm") * 7919 + 13),
-        F.lit(MH_PRIME),
+    mins = [
+        F.min(
+            F.pmod(
+                F.lit(p * 2 + 1) * F.col("sh") + F.lit(p * 7919 + 13), F.lit(MH_PRIME)
+            )
+        ).alias(f"_m{p}")
+        for p in range(N_PERM)
+    ]
+    sig = sh.groupBy("id").agg(*mins)
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                F.pmod(
+                    sum(
+                        F.pmod(
+                            F.col(f"_m{b * ROWS_PER_BAND + w}") * F.lit(31**w),
+                            F.lit(MH_PRIME),
+                        )
+                        for w in range(ROWS_PER_BAND)
+                    ),
+                    F.lit(MH_PRIME),
+                ).alias("band_sig"),
+            )
+            for b in range(N_BANDS)
+        ]
     )
-    return ab.select("id", "perm", mh.alias("mh")).groupBy("id", "perm").agg(
-        F.min("mh").alias("minhash")
-    )
-
-
-def lsh_bands(signatures: DataFrame) -> DataFrame:
-    """(id, band, band_sig): fold each band's ROWS_PER_BAND minhashes
-    into one signature (order-fixed polynomial over the sorted perm
-    index — deterministic)."""
-    banded = signatures.withColumn("band", F.floor(F.col("perm") / ROWS_PER_BAND))
-    # polynomial fold in perm order: sig = Σ mh_i · 31^(i within band) mod FP
-    within = F.pmod(F.col("perm"), F.lit(ROWS_PER_BAND))
-    term = F.pmod(
-        F.col("minhash") * F.pow(F.lit(31.0), within).cast("long"), F.lit(MH_PRIME)
-    )
-    return (
-        banded.withColumn("term", term)
-        .groupBy("id", "band")
-        .agg(F.pmod(F.sum("term"), F.lit(MH_PRIME)).alias("band_sig"))
+    return sig.select("id", F.explode(bands_arr).alias("_bd")).select(
+        "id", F.col("_bd.band").alias("band"), F.col("_bd.band_sig").alias("band_sig")
     )
 
 
@@ -270,7 +284,7 @@ def minhash_lsh_pairs(
     sh = _exploded_shingle_hashes(docs, id_col, text_col)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
 
-    bands = lsh_bands(minhash_signatures(docs, id_col, text_col))
+    bands = minhash_bands(docs, id_col, text_col)
     ba = bands.alias("ba")
     bb = bands.alias("bb")
     cands = (
@@ -519,30 +533,41 @@ def _banded_hamming_pairs(
     bands = band_keys(sigs, n_bands, band_bits)
     a = bands.alias("a")
     b = bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bits") == F.col("b.bits"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias(a_name),
-            F.col("b.id").alias(b_name),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+    matches = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bits") == F.col("b.bits"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias(a_name),
+        F.col("b.id").alias(b_name),
+        F.col("a.sig").alias("sig_a"),
+        F.col("b.sig").alias("sig_b"),
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    if telemetry is not None:
+        # telemetry path (untimed bench pass): keep the r5 shape —
+        # distinct FIRST, so the observed number stays the canonical
+        # "distinct candidate pairs entering the refine" (the n²/2^bits
+        # collision-tail gauge, comparable across rounds); zero extra
+        # jobs (telemetry.CandidateTelemetry)
+        cands = telemetry.observe(matches.distinct(), family)
+        return cands.select(
+            a_name, b_name, ham.cast("long").alias("hamming")
+        ).filter(F.col("hamming") <= max_hamming)
+    # hot path (r6): refine BEFORE the dedup shuffle. The hamming test
+    # is a per-row codegen filter, so running it on the raw banded
+    # matches costs nothing extra — while distinct-first shuffled every
+    # spurious band collision (1.96M candidate rows for simhash at
+    # bench scale) just to discard them a node later. Filter-then-
+    # distinct is row-for-row identical output (the filter is
+    # deterministic per row), but the exchange now carries only the
+    # surviving near-dup pairs.
+    return (
+        matches.select(a_name, b_name, ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    if telemetry is not None:
-        # candidate count observed in the SAME action that refines the
-        # pairs (telemetry.CandidateTelemetry — the n²/2^bits
-        # collision-tail gauge); zero extra jobs
-        cands = telemetry.observe(cands, family)
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cands.select(
-        a_name, b_name, ham.cast("long").alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
 
 
 def _BANDED_HAMMING_SQL(

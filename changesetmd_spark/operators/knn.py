@@ -168,6 +168,7 @@ def knn_join_safe(
     p_lat: str = "lat",
     p_lon: str = "lon",
     min_parallelism: int | None = None,
+    max_cert_rows: int = 5_000_000,
 ) -> DataFrame:
     """EXACT kNN at any density and any latitude: ring-accelerated
     candidates, then an exact fallback for precisely the queries the
@@ -226,6 +227,19 @@ def knn_join_safe(
         .withColumn("_g", guarantee)
         .localCheckpoint()
     )
+    # driver-side certificate guard (r6, ADVICE): the certify fold
+    # collects ≤ |Q|·k slim rows under the broadcast-small-queries
+    # contract — which nothing enforced. A huge query side would hit a
+    # silent driver-memory cliff here; fail LOUDLY instead.
+    cert_rows = ringed_g.count()
+    if cert_rows > max_cert_rows:
+        raise ValueError(
+            f"knn_join_safe certificate would collect {cert_rows} rows "
+            f"(> max_cert_rows={max_cert_rows}): the query side exceeds "
+            "the broadcast-small contract this operator is designed for "
+            "— partition the query set and join per slice, or raise "
+            "max_cert_rows explicitly if the driver has the memory"
+        )
     per_q: dict = {}
     for r in ringed_g.select(q_id, "dist_km", "_g").collect():
         st = per_q.setdefault(r[0], {"_nk": 0, "_dk": 0.0, "_g": r[2]})
@@ -251,17 +265,21 @@ def knn_join_safe(
         return ringed  # every query certified: the ring result is exact
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    unsafe_df = queries.sparkSession.createDataFrame(
-        unsafe,
+    # (r6, ADVICE fix) rebuild the fallback side by joining the
+    # uncertified (id, band) pairs BACK to the full queries relation:
+    # the r5 literal DataFrame carried only (id, lat, lon, band), so a
+    # caller whose queries had extra columns got an AnalysisException
+    # from the final union's column projection.
+    unsafe_ids = queries.sparkSession.createDataFrame(
+        [(u[0], u[3]) for u in unsafe],
         StructType(
             [
                 StructField(q_id, queries.schema[q_id].dataType, True),
-                StructField(q_lat, DoubleType(), True),
-                StructField(q_lon, DoubleType(), True),
                 StructField("_band_deg", DoubleType(), True),
             ]
         ),
     )
+    unsafe_df = queries.join(F.broadcast(unsafe_ids), q_id, "inner")
     pairs = points.join(
         F.broadcast(unsafe_df),
         F.col("_band_deg").isNull()

@@ -135,8 +135,10 @@ def _wav_decode(blob) -> tuple[int, int, np.ndarray]:
     n_ch = int.from_bytes(fmt_body[2:4], "little")
     sr = int.from_bytes(fmt_body[4:8], "little")
     bits = int.from_bytes(fmt_body[14:16], "little")
-    if audio_fmt != 1 or bits != 16 or n_ch < 1:
-        raise ValueError(f"unsupported WAV variant (fmt={audio_fmt}, bits={bits}, ch={n_ch})")
+    if audio_fmt != 1 or bits != 16 or n_ch < 1 or sr <= 0:
+        raise ValueError(
+            f"unsupported WAV variant (fmt={audio_fmt}, bits={bits}, ch={n_ch}, sr={sr})"
+        )
     samples = np.frombuffer(data_body, dtype="<i2")
     mono = np.ascontiguousarray(samples[::n_ch]).astype(np.int16)
     return sr, len(mono), mono

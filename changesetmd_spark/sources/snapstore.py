@@ -257,14 +257,36 @@ class SnapStore:
                 pass
             return
         # innocent holder: restore its lockfile without clobbering
+        restored = False
         for _ in range(50):
             try:
                 os.link(doomed, lock_path)
+                restored = True
                 break
             except FileExistsError:
                 _t.sleep(0.01)  # newer acquirer present; it releases in ms
             except FileNotFoundError:
-                break  # doomed vanished (shouldn't happen; nothing to restore)
+                restored = True  # doomed vanished; nothing left to restore
+                break
+        if not restored:
+            # (r6, ADVICE fix) restore kept failing: do NOT silently
+            # discard the displaced holder's record — quarantine it and
+            # surface a warning so the loss is visible and recoverable.
+            import warnings
+
+            quarantine = lock_path + f".quarantine-{uuid.uuid4().hex[:8]}"
+            try:
+                os.rename(doomed, quarantine)
+            except FileNotFoundError:
+                return
+            warnings.warn(
+                f"snapstore lock-break could not restore an innocent "
+                f"holder's lockfile after 50 retries; its record is "
+                f"preserved at {quarantine}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return
         try:
             os.remove(doomed)
         except FileNotFoundError:

@@ -384,3 +384,39 @@ def test_polygon_contains_matches_numpy_oracle(spark):
         for pid in pts_pdf.point_id[inside]:
             want.add((int(pid), i))
     assert got == want and len(want) > 50
+
+
+def test_safe_knn_guard_rejects_oversized_certificate(spark):
+    """r6 ADVICE fix: the driver-side certificate collect is bounded by
+    max_cert_rows — a query side past the broadcast-small contract must
+    fail loudly instead of silently collecting |Q|*k rows."""
+    import pytest
+
+    pts, qs = _pts(spark, n=500), _queries(spark, n=25)
+    with pytest.raises(ValueError, match="max_cert_rows"):
+        K.knn_join_safe(qs, pts, 5, res=2, rings=4, max_cert_rows=10).count()
+
+
+def test_safe_knn_preserves_extra_query_columns(spark):
+    """r6 ADVICE fix: when some queries fail to certify, the exact
+    fallback must carry the caller's extra query columns (the r5
+    rebuild dropped them and the final union raised)."""
+    from pyspark.sql import functions as F
+
+    pts = _pts(spark, n=300)  # sparse: some queries will not certify
+    qs = _queries(spark, n=15).withColumn(
+        "label", F.concat(F.lit("q"), F.col("query_id"))
+    )
+    out = K.knn_join_safe(qs, pts, 5, res=2, rings=2)
+    rows = out.collect()
+    assert "label" in out.columns
+    assert all(r["label"] == f"q{r['query_id']}" for r in rows)
+    # answers still exactly match the global brute force
+    exact = {
+        (r.query_id, r.point_id, r.knn_rank)
+        for r in K.knn_join_exact(qs, pts, 5)
+        .select("query_id", "point_id", "knn_rank")
+        .collect()
+    }
+    got = {(r.query_id, r.point_id, r.knn_rank) for r in rows}
+    assert got == exact

@@ -269,3 +269,23 @@ def test_hypothesis_scalar_parity_and_float_edges():
         assert got == want, (lat, lon, level, hex(got), hex(want))
 
     check()
+
+
+def test_short_walk_parent_equals_full_walk_truncation():
+    """r6 optimization pin: s2_cell_np walks only `level` Hilbert steps
+    and assembles the parent directly. Must be bit-identical to the r5
+    path (full 30-step leaf walk, then _parent_at_level truncation) at
+    every level — truncation keeps exactly the top 2·level position
+    bits, which depend only on the first `level` steps."""
+    rng = np.random.default_rng(20260821)
+    lat = rng.uniform(-90, 90, 20000)
+    lon = rng.uniform(-180, 180, 20000)
+    x, y, z = s2._latlng_to_xyz(lat, lon)
+    face, u, v = s2._xyz_to_face_uv(x, y, z)
+    i = s2._st_to_ij(s2._uv_to_st(u))
+    j = s2._st_to_ij(s2._uv_to_st(v))
+    pos = s2._faceij_to_pos(face, i, j, n_steps=30)
+    leaf = (face.astype(np.uint64) << np.uint64(61)) | (pos << np.uint64(1)) | np.uint64(1)
+    for level in (0, 1, 7, 12, 29, 30):
+        ref = s2._parent_at_level(leaf, level).view(np.int64)
+        assert (s2.s2_cell_np(lat, lon, level) == ref).all()

@@ -392,3 +392,17 @@ def test_frame_sample_video_payloads(spark):
         src = synth.pixels_for_phash(np.array([ph[int(r.image_id[3:])]]), 4, 16)[0]
         fi = r.frame_idx
         assert (pxr == src[fi * 48:(fi + 1) * 48]).all()
+
+
+def test_wav_zero_sample_rate_rejected():
+    """r6 ADVICE fix: a malformed WAV declaring sample_rate=0 must be
+    rejected by _wav_decode (one bad row), not crash the whole batch
+    with ZeroDivisionError later in audio_stats."""
+    import pytest
+
+    blob = bytearray(_make_wav([5, -5, 9], sr=8000))
+    # fmt chunk starts at byte 12 (RIFF hdr) + 8 (chunk hdr); the
+    # sample-rate field sits 4 bytes into the fmt body
+    blob[24:28] = (0).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="sr=0"):
+        multimodal.decode_audio_blob(bytes(blob))

@@ -34,6 +34,8 @@ def main() -> None:
     ap.add_argument("--explain-dir", default="")
     ap.add_argument("--suffix", default="_before")
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--plan-only", action="store_true",
+                    help="dump explain() without executing the queries")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -47,7 +49,7 @@ def main() -> None:
     for name in names:
         fn = EQ.QUERIES[name]
         times = []
-        for i in range(args.repeats):
+        for i in range(0 if args.plan_only else args.repeats):
             spark.sparkContext.setJobDescription(f"{name}#{i}")
             t0 = time.time()
             fn(spark, sf_dir).count()
