@@ -419,7 +419,11 @@ def _collect_centroids(centroids: DataFrame) -> tuple[np.ndarray, np.ndarray, np
     the row_number tie-break 'ties → smaller centroid id'). Centroid
     sets are FIXED-SIZE by design (IVF_CENTROIDS / k-means k) —
     collecting k rows is the same bounded driver state every k-means
-    implementation keeps."""
+    implementation keeps. Accepts an already-collected (ids, C, n2)
+    tuple pass-through so one collect can feed several UDFs (ann_ivf
+    builds lists + probes from the same centroid set)."""
+    if isinstance(centroids, tuple):
+        return centroids
     rows = sorted(
         centroids.select("c_id", "c_vec", "c_n2").collect(), key=lambda r: r[0]
     )
@@ -648,6 +652,7 @@ def ann_ivf_topk(
     cents = centroids if centroids is not None else _prep(
         vectors.filter(F.col(id_col) < n_centroids), id_col, vec_col, "c_"
     )
+    cents = _collect_centroids(cents)  # one driver collect feeds both UDFs
     v = _prep(vectors, id_col, vec_col, "v_")
     q = _prep(queries, id_col, vec_col, "v_")
     lists = ivf_assign_lists(v, cents)
