@@ -134,12 +134,15 @@ def _warm_codegen(spark: SparkSession) -> None:
         _knn.knn_join_safe(qs, pts, k=2, res=2, rings=4, min_parallelism=2).count()
     except Exception:
         pass  # warmup must never block a session
-    # second warm: 40-doc miniatures of the heavy dedup DAGs over ONE
-    # tiny parquet table (scan-backed leaf, so the real gates' stage
-    # classes cache-hit). Measured first-invocation savings at bench
-    # scale, steady state unchanged: simhash 6.1s → 3.4s (the 64-vote
-    # aggregate is the biggest codegen unit after kNN), minhash 4.5 →
-    # 3.1, ngram 3.0 → 2.6; the minis themselves cost ~4s once.
+    # second warm: miniatures of the heavy dedup DAGs over ONE tiny
+    # parquet table (scan-backed leaf, so the real gates' stage classes
+    # cache-hit). r6 sizing: 3000 DIVERSE docs instead of r5's 40 —
+    # class-loading alone left a ~1.5-2s first-invocation gap because
+    # the generated loops also need ROW VOLUME to get C2-JIT-compiled;
+    # an interleaved A/B showed the bigger mini cuts the first real
+    # minhash 3.5-4.2s → 2.2-2.4s and simhash 3.4-3.6s → 2.1s for ~4s
+    # of one-time session-build cost. Texts are made mutually dissimilar
+    # (seven varying tokens) so the mini's own candidate set stays tiny.
     # third warm: PRE-SPAWN the Python worker pool (r6). The multimodal
     # gates chain up to three Arrow stages over full-width partitions;
     # the first such stage forks (cores × chained-stages) Python
@@ -170,12 +173,16 @@ def _warm_codegen(spark: SparkSession) -> None:
         from .operators import dedup as _dedup
 
         tp = f"/tmp/changesetmd-warm-{_uuid.uuid4().hex[:8]}"
-        spark.range(40).select(
+        spark.range(3000).select(
             F.col("id").alias("doc_id"),
             F.concat(
-                F.lit("tok"), F.col("id"), F.lit(" alpha beta gamma "), F.col("id") % 5
+                F.lit("t"), F.col("id"),
+                F.lit(" a"), F.col("id") % 97, F.lit(" b"), F.col("id") % 89,
+                F.lit(" c"), F.col("id") % 83, F.lit(" d"), F.col("id") % 79,
+                F.lit(" e"), F.col("id") % 71, F.lit(" f"), F.col("id") % 67,
+                F.lit(" g"), F.col("id") % 61,
             ).alias("text"),
-        ).repartition(2).write.mode("overwrite").parquet(tp)
+        ).repartition(4).write.mode("overwrite").parquet(tp)
         docs = spark.read.parquet(tp)
         _dedup.simhash_pairs(docs).count()
         _dedup.minhash_lsh_pairs(docs).count()
