@@ -131,7 +131,7 @@ def _warm_codegen(spark: SparkSession) -> None:
             F.when(F.col("id") == 0, 85.0).otherwise(F.col("id").cast("double") * 25.0 - 40.0).alias("q_lat"),
             (F.col("id").cast("double") * 40.0 - 40.0).alias("q_lon"),
         )
-        _knn.knn_join_safe(qs, pts, k=2, res=2, rings=4, min_parallelism=2).count()
+        _knn.knn_join_safe(qs, pts, k=2, res=2, rings=4).count()
     except Exception:
         pass  # warmup must never block a session
     # second warm: miniatures of the heavy dedup DAGs over ONE tiny
